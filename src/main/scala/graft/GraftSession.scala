@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify/Bench/tests agree.
+  *
+  * - UTC session timezone: oracle (DuckDB) parity for timestamps.
+  * - shuffle.partitions = cpus: local mode; a real cluster sizes this
+  *   by data volume (or leaves it to AQE coalescing, which is on by
+  *   default in Spark 4).
+  * - nanosAsLong: driver testdata's events.ts is parquet
+  *   TIMESTAMP(NANOS), which Spark 4 otherwise rejects with
+  *   PARQUET_TYPE_ILLEGAL; we read it as a long and convert to a
+  *   microsecond TimestampType in Tables.events.
+  */
+object GraftSession {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

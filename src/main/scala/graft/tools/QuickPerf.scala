@@ -8,13 +8,7 @@ object QuickPerf {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val t00 = System.nanoTime()
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     println(f"session up: ${(System.nanoTime() - t00) / 1e9}%.2f s")
     for (i <- 1 to 4) {
       val t0 = System.nanoTime()
