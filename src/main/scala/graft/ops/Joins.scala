@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins and set operations (SURVEY.md §2.3, §2.7).
+  *
+  * Scale doctrine: dimension sides (region/nation/customer/supplier at
+  * TPC-H ratios) are broadcast explicitly — a broadcast-hash join is a
+  * map-side operation with zero shuffle of the fact table. Fact-fact
+  * joins (lineitem⋈orders) shuffle on the join key; at 100 TB that is
+  * the one unavoidable shuffle, and AQE handles skew splitting.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** J1 — dimension lookup (the manager's `stream_config[stream]` dict
+    * hit, manager.py:117-132) as a broadcast hash join. */
+  def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name", $"c_mktsegment")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** J2/J3 — left join + default: per-stream fps override falling back
+    * to DEFAULT_FPS (convert.sh:78-84) = left_outer + coalesce. */
+  def qLeftJoinCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val overrides = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.orders(spark, dir)
+      .join(broadcast(overrides), $"o_custkey" === $"c_custkey", "left_outer")
+      .select($"o_orderkey", coalesce($"c_mktsegment", lit("DEFAULT")).as("segment"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** J4 — group denormalization (quality-group → member streams,
+    * manager.py:124-132): collect members per group, explode back,
+    * join group attrs. Round-trips collect_list∘explode. */
+  def qExplodeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = Tables.nation(spark, dir)
+      .groupBy($"n_regionkey")
+      .agg(array_sort(collect_list($"n_name")).as("members"))
+    groups
+      .select($"n_regionkey", explode($"members").as("member"))
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"member")
+      .orderBy($"r_name".asc_nulls_first, $"member".asc_nulls_first)
+  }
+
+  /** J5/U3 — semi join: resume persisted state only for
+    * still-configured streams (manager.py:70-76). left_semi never
+    * duplicates or widens rows — cheaper than inner+distinct. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables.customer(spark, dir).filter($"c_acctbal" > 5000.0)
+    Tables.orders(spark, dir)
+      .join(broadcast(rich), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** J6/P7/U4 — anti join: blocklist filter (manager.py:449-452) as
+    * left_anti (NOT EXISTS semantics; avoids NOT IN null traps). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "AUTOMOBILE")
+    Tables.orders(spark, dir)
+      .join(broadcast(blocklist), $"o_custkey" === $"c_custkey", "left_anti")
+      .select($"o_orderkey", $"o_custkey")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** J7 — multi-way equi join (TPC-H Q5 shape): the one fact-fact
+    * shuffle join (lineitem⋈orders) plus broadcast dims all the way
+    * out. Catalyst reorders + picks BHJ for every dimension side. */
+  def qMultiwayJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** J8 — range join: equi key + date-range residual. Spark plans the
+    * equi part as the join key and evaluates the residual as a post-
+    * filter inside the join — no cross product. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** U1/U2 — union with first-wins dedup (configured streams ∪
+    * ext-streamlist, guard at manager.py:150): precedence via a
+    * priority column + row_number()=1, the distributed version of the
+    * reference's "add only if not already present". */
+  def qUnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = Tables.customer(spark, dir)
+      .select($"c_custkey".as("custkey"), lit("cfg").as("src"), lit(1).as("priority"))
+    val ext = Tables.orders(spark, dir)
+      .select($"o_custkey".as("custkey"), lit("ext").as("src"), lit(2).as("priority"))
+      .distinct()
+    val w = Window.partitionBy($"custkey").orderBy($"priority".asc, $"src".asc)
+    cfg.unionByName(ext)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"custkey", $"src")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_broadcast_join" -> (qBroadcastJoin _),
+    "q_left_join_coalesce" -> (qLeftJoinCoalesce _),
+    "q_explode_join" -> (qExplodeJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_multiway_join" -> (qMultiwayJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_union_dedup" -> (qUnionDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_broadcast_join" ->
+      """SELECT o_orderkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_left_join_coalesce" ->
+      """SELECT o_orderkey, coalesce(c_mktsegment, 'DEFAULT') AS segment
+        |FROM orders LEFT JOIN
+        |  (SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING') d
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_explode_join" ->
+      """WITH groups AS (
+        |  SELECT n_regionkey, list(n_name ORDER BY n_name) AS members
+        |  FROM nation GROUP BY n_regionkey),
+        |ex AS (SELECT n_regionkey, unnest(members) AS member FROM groups)
+        |SELECT r_name, member
+        |FROM ex JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name ASC NULLS FIRST, member ASC NULLS FIRST""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_mktsegment = 'AUTOMOBILE')
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_multiway_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_late
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT custkey, src FROM (
+        |  SELECT custkey, src,
+        |    row_number() OVER (PARTITION BY custkey ORDER BY priority ASC, src ASC) AS rn
+        |  FROM (
+        |    SELECT c_custkey AS custkey, 'cfg' AS src, 1 AS priority FROM customer
+        |    UNION ALL
+        |    SELECT DISTINCT o_custkey, 'ext', 2 FROM orders))
+        |WHERE rn = 1
+        |ORDER BY custkey ASC NULLS FIRST""".stripMargin,
+  )
+}

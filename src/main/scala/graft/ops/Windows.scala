@@ -1,0 +1,244 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, time-series reconstruction, sessionization
+  * (SURVEY.md §2.5, T6/T8/W2) and the as-of join (J9).
+  *
+  * All timestamp outputs are epoch-microsecond longs (`unix_micros`) —
+  * exact integers on both engines, immune to the ns/µs parquet
+  * mismatch documented in SURVEY.md §7.4.
+  *
+  * Scale doctrine: every window here is partitioned by a key
+  * (user_id) — Spark shuffles once on the key and sorts within
+  * partitions; there are no global (unpartitioned) windows, which
+  * would serialize on a single task at 100 TB.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** W1 — ordered sequence numbering per key (retry files indexed
+    * 0..retry_id and replayed in order, manager.py:413-415). */
+  def qRowNumber(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .select($"event_id", $"user_id", $"rn")
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  /** W3 — ranking family: rank / dense_rank / ntile with a total
+    * order inside each partition (ties broken on key) so every rank
+    * is deterministic. */
+  def qRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  /** W4 — frame-spec aggregates: rolling 4-row sum + running total
+    * per key. Rounded: windowed double sums reassociate differently
+    * across engines (DuckDB uses segment trees). */
+  def qRollingSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"event_id",
+        round(sum($"value").over(w.rowsBetween(-3, 0)), 4).as("roll4"),
+        round(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+          .as("running"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  /** W2 — packet-timeline reconstruction (convert.sh:60-65: recover
+    * wallclock for any moment, robust to gaps): lag + gap detection
+    * on the event stream. Gaps are exact µs-long arithmetic. */
+  def qPacketTimeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .select($"event_id", $"user_id", $"ts_us", $"gap_us",
+        when($"gap_us" > 3600L * 1000000L, lit(1)).otherwise(lit(0)).as("is_gap"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  /** T6 — sessionization: session identity = (key, start) with a new
+    * session after a >30 min silence (the manager's per-(stream,
+    * datestr) capture-session naming, manager.py:295-309). Batch
+    * formulation: flag-new + running sum = session index. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"ts_us" - $"prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+      .orderBy($"user_id".asc_nulls_first, $"session_idx".asc_nulls_first)
+  }
+
+  /** T8 — tumbling window aggregation (batch analog of streaming
+    * window(); the oracle uses date_trunc, identical for 1-hour
+    * tumbling with zero offset). */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select(unix_micros($"w.start").as("bucket_us"), $"event_type", $"n", $"sum_value")
+      .orderBy($"bucket_us".asc_nulls_first, $"event_type".asc_nulls_first)
+  }
+
+  /** F2 — date_trunc calendar bucketing (ISO datestr handling in the
+    * reference, manager.py:296 / convert.sh:41). */
+  def qDateTrunc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"month".asc_nulls_first)
+  }
+
+  /** J9 — as-of join: each probe event matched to the latest anchor
+    * event at-or-before it per key (the packet-dump's "wallclock for
+    * any moment" lookup, convert.sh:60-62). Spark has no native ASOF:
+    * the scalable formulation is union both sides, one window pass,
+    * `last(_, ignoreNulls)` carries the most recent anchor forward —
+    * one shuffle on the key, no correlated per-row scans.
+    * Anchors are pre-deduped to one per (key, ts) so ties are
+    * well-defined; on probe==anchor timestamp the anchor sorts first
+    * (kind 0 < kind 1), making "at-or-before" inclusive. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros($"ts"))
+    val probes = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts_us",
+        lit(1).as("kind"), lit(null).cast("long").as("a_ts"),
+        lit(null).cast("double").as("a_value"))
+    val anchors = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("a_value"))
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts_us",
+        lit(0).as("kind"), $"ts_us".as("a_ts"), $"a_value")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"kind".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    probes.unionByName(anchors)
+      .withColumn("m_ts", last($"a_ts", ignoreNulls = true).over(w))
+      .withColumn("m_value",
+        round(last($"a_value", ignoreNulls = true).over(w), 6))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id", $"ts_us", $"m_ts", $"m_value")
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_row_number" -> (qRowNumber _),
+    "q_rank" -> (qRank _),
+    "q_rolling_sum" -> (qRollingSum _),
+    "q_packet_timeline" -> (qPacketTimeline _),
+    "q_sessionize" -> (qSessionize _),
+    "q_tumbling_window" -> (qTumblingWindow _),
+    "q_date_trunc" -> (qDateTrunc _),
+    "q_asof_join" -> (qAsofJoin _),
+  )
+
+  /** DuckDB note: events.ts is TIMESTAMP_NS there; CAST(ts AS
+    * TIMESTAMP) truncates to µs = Spark's read. epoch_us() gives the
+    * same integers as unix_micros(). */
+  val oracles: Map[String, String] = Map(
+    "q_row_number" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_rolling_sum" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll4,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_packet_timeline" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+        |    AS gap_us,
+        |  CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC) > 3600000000 THEN 1 ELSE 0 END AS is_gap
+        |FROM e
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |f AS (SELECT *,
+        |  CASE WHEN lag(ts_us, 1) OVER w IS NULL
+        |         OR ts_us - lag(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id ASC NULLS FIRST, session_idx ASC NULLS FIRST""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY bucket_us, event_type
+        |ORDER BY bucket_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY month
+        |ORDER BY month ASC NULLS FIRST""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |probes AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'),
+        |anchors AS (SELECT user_id, ts_us, max(value) AS a_value
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT max(a.ts_us) FROM anchors a
+        |    WHERE a.user_id = p.user_id AND a.ts_us <= p.ts_us) AS m_ts,
+        |  round((SELECT a.a_value FROM anchors a
+        |    WHERE a.user_id = p.user_id AND a.ts_us =
+        |      (SELECT max(a2.ts_us) FROM anchors a2
+        |        WHERE a2.user_id = p.user_id AND a2.ts_us <= p.ts_us)), 6) AS m_value
+        |FROM probes p
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+  )
+}
