@@ -10,10 +10,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2.
     * Each ops module owns its queries + oracle SQL; this aggregates. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ Windows.queries
+    Relational.queries ++ Joins.queries ++ Windows.queries ++
+      Semi.queries ++ Text.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Joins.oracles ++ Windows.oracles
+    Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
+      Semi.oracles ++ Text.oracles ++ Similarity.oracles
 }

@@ -147,13 +147,15 @@ object Relational {
 
   /** A4 — list accumulation (failed-moves list, manager.py:416-421)
     * with array_sort for determinism (collect order is partition-
-    * dependent; sorting makes it canonical). */
+    * dependent; sorting makes it canonical). Emitted as a joined
+    * scalar string: the driver's compare harness can't hash raw array
+    * cells (ADVICE.md r1), and the string pins the exact ordering. */
   def qCollectList(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .select($"o_orderpriority", $"o_orderstatus").distinct()
       .groupBy($"o_orderpriority")
-      .agg(array_sort(collect_list($"o_orderstatus")).as("statuses"))
+      .agg(concat_ws(",", array_sort(collect_list($"o_orderstatus"))).as("statuses"))
       .orderBy($"o_orderpriority".asc_nulls_first)
   }
 
@@ -264,8 +266,8 @@ object Relational {
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
     "q_case_when" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_final,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY o_orderpriority
@@ -283,7 +285,8 @@ object Relational {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_collect_list" ->
-      """SELECT o_orderpriority, list(o_orderstatus ORDER BY o_orderstatus) AS statuses
+      """SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,

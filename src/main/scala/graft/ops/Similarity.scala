@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.11 L3): brute-force
+  * cosine top-k as the exact baseline, and an IVF-style bucketed
+  * variant as the scale path — on the driver's `embeddings` table
+  * (embedding: array<float>, 64-dim; label: int = cluster id).
+  *
+  * Scale doctrine: the query set is broadcast (queries are always the
+  * small side); the corpus is scanned once, similarity is a per-row
+  * zip_with/aggregate fold (whole-stage codegen, no explode, no
+  * shuffle), and per-query top-k is a windowed row_number that AQE
+  * executes as partial top-k. Brute force is O(|corpus|·|queries|·d):
+  * fine for thousands of queries; for millions, q_ann_ivf's bucket
+  * pruning (here: the label column standing in for a k-means cell
+  * assignment) cuts the scanned corpus by the bucket fanout, the
+  * standard IVF trade.
+  *
+  * Determinism: elementwise float→double casts, sequential fold, then
+  * round(sim, 4) BEFORE ranking so rank and value agree across
+  * engines; ties broken on vec_id ASC.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embedding array<float> → vec array<double> + its L2 norm. */
+  private def withVec(df: DataFrame): DataFrame = df
+    .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
+    .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)))
+
+  private def cosine(spark: SparkSession, dir: String,
+                     sameBucketOnly: Boolean): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val c = base.select($"vec_id".as("c_id"), $"label",
+      $"vec".as("cv"), $"nrm".as("cn"))
+    val cond =
+      if (sameBucketOnly) $"c_id" =!= $"q_id" && $"label" === $"q_label"
+      else $"c_id" =!= $"q_id"
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    c.join(broadcast(q), cond)
+      .withColumn("dot",
+        aggregate(zip_with($"qv", $"cv", (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"c_id", $"rnk", $"sim")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
+  /** L3 — exact brute-force cosine top-3 for each query vector. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    cosine(spark, dir, sameBucketOnly = false)
+
+  /** L3 scale path — IVF-bucketed ANN: probe only the query's own
+    * cell (label = precomputed cluster assignment), then exact
+    * re-rank within it. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    cosine(spark, dir, sameBucketOnly = true)
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_ann_ivf" -> (qAnnIvf _),
+  )
+
+  /** Oracle formulation: per-element lateral expansion
+    * (generate_subscripts) + grouped double sums; same rounding and
+    * tie-break as the Spark side. */
+  private def oracleCosine(bucketPred: String): String =
+    s"""WITH pe AS (SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pe GROUP BY vec_id),
+       |labels AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |d AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.x * c.x) AS dot
+       |  FROM pe q JOIN pe c ON q.i = c.i
+       |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id $bucketPred
+       |  GROUP BY q.vec_id, c.vec_id),
+       |s AS (SELECT q_id, c_id,
+       |    round(dot / (nq.nrm * nc.nrm), 4) AS sim
+       |  FROM d
+       |  JOIN norms nq ON q_id = nq.vec_id
+       |  JOIN norms nc ON c_id = nc.vec_id),
+       |r AS (SELECT q_id, c_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+       |  FROM s)
+       |SELECT q_id, c_id, rnk, sim FROM r WHERE rnk <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" -> oracleCosine(""),
+    "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
+  )
+}

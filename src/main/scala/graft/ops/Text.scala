@@ -1,0 +1,339 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators (SURVEY.md §2.11 L1/L2/L4 plus
+  * north-star extensions): exact + near dedup, MinHash signatures,
+  * SimHash fingerprints, token frequency, language-ID, quality
+  * scoring, token counting, document fingerprinting — all on the
+  * driver's `documents` table.
+  *
+  * Scale doctrine (100 TB of documents):
+  *  - exact dedup is one hash-shuffle on a 64-hex digest (not the
+  *    document body);
+  *  - near-dup candidate generation is BLOCKED (here by
+  *    (source, lang); at scale by MinHash LSH bands, q_minhash_dedup)
+  *    so the pair space never goes quadratic in the corpus;
+  *  - every per-doc fingerprint/score is a narrow codegen projection
+  *    over built-in expressions — no UDFs in the hot path.
+  *
+  * Determinism: hashes are hex STRINGS (sha2/md5) — identical bytes on
+  * any engine, unlike engine-private integer hash() functions.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of the lowercased text (regex split so runs of
+    * spaces can't produce empty tokens). */
+  private def toks(c: Column): Column = split(trim(lower(c)), " +")
+
+  /** L1 — exact dedup: canonicalize → sha2 → group; keeper = min id.
+    * At 100 TB the shuffle carries (hash, doc_id) pairs only. */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", sha2(lower(trim($"text")), 256))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash".asc_nulls_first)
+  }
+
+  /** L4 — corpus token frequency: explode + count + top-50 (Catalyst
+    * rewrites orderBy+limit to TakeOrderedAndProject). */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc_nulls_last, $"token".asc_nulls_first)
+      .limit(50)
+  }
+
+  /** L4 — per-(lang, source) document statistics. */
+  def qDocStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks($"text")))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        max($"n_chars").as("max_chars"),
+        round(avg($"n_tokens"), 4).as("avg_tokens"))
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  /** [EXT] language-ID: stopword-lexicon voting — tokens joined to a
+    * broadcast (word → lang) lexicon, argmax hits per doc with a
+    * deterministic (hits DESC, lang ASC) tie-break; docs with no
+    * lexicon hit fall back to 'und'. The lexicon stand-ins here are
+    * tiny; a production list is still broadcast-sized (≤ a few MB). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Seq(
+      ("the", "en"), ("a", "en"), ("of", "en"), ("and", "en"), ("to", "en"),
+      ("el", "es"), ("la", "es"), ("de", "es"), ("y", "es"), ("que", "es"),
+      ("le", "fr"), ("la", "fr"), ("de", "fr"), ("et", "fr"), ("un", "fr"),
+      ("der", "de"), ("die", "de"), ("das", "de"), ("und", "de"), ("ein", "de"),
+    ).toDF("w", "wlang")
+    val docs = Tables.documents(spark, dir)
+    val hits = docs
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .join(broadcast(lex), $"tok" === $"w")
+      .groupBy($"doc_id", $"wlang")
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"n_hits".desc, $"wlang".asc)
+    val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id".as("h_doc"), $"wlang", $"n_hits")
+    docs.join(best, $"doc_id" === $"h_doc", "left_outer")
+      .select($"doc_id",
+        coalesce($"wlang", lit("und")).as("pred_lang"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** [EXT] quality scoring: type-token ratio + stopword ratio folded
+    * into one score. Pure array expressions (filter/array_distinct) —
+    * no explode, no shuffle: per-row codegen only. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
+      .withColumn("stop_ratio",
+        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
+      // 0.6/0.4 weights, not 0.5/0.5: halving a 4-decimal input lands
+      // exactly on .00005 rounding boundaries, which Spark and DuckDB
+      // tie-break differently; 6·d and 4·d keep the 5th decimal even.
+      .withColumn("score",
+        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
+      .select($"doc_id", $"n_tokens", $"ttr", $"stop_ratio", $"score")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** [EXT] token counting: whitespace tokens + a BPE-ish regex pass
+    * (letter runs / digit runs / single punctuation = rough subword
+    * proxy) — both are codegen'd regex expressions. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split(trim($"text"), " +")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("bpe_tokens"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** [EXT] document fingerprint: sha2 of the sorted distinct token
+    * bag — canonical content identity robust to token order (the
+    * rolling-hash family's batch cousin; pairs with q_exact_dedup
+    * which is order-sensitive). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        sha2(concat_ws(" ", array_sort(array_distinct(toks($"text")))), 256)
+          .as("fingerprint"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L2 — near-dup pairs by token-set Jaccard, blocked by
+    * (source, lang) so the candidate space is per-block quadratic,
+    * not corpus-quadratic. jaccard = |A∩B| / (|A|+|B|−|A∩B|) with the
+    * intersection counted via a shared-token self-join. */
+  def qNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang",
+        explode(array_distinct(toks($"text"))).as("tok"))
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = t.alias("a")
+      .join(t.alias("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") === col("b.source") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select($"doc_id".as("da"), $"n".as("na"))), "da")
+      .join(broadcast(sizes.select($"doc_id".as("db"), $"n".as("nb"))), "db")
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= 0.9)
+      .select($"da", $"db", $"jaccard")
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  /** L2 scale path — MinHash signatures: 4 salted sha2 min-hashes per
+    * doc (lexicographic min of hex digests = random permutation via
+    * hash ordering), banded into one LSH bucket key. At 100 TB the
+    * LSH band join replaces q_near_dup's block join: candidates =
+    * docs sharing a band bucket. */
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mh(salt: String): Column =
+      min(sha2(concat(lit(salt + ":"), $"tok"), 256))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .groupBy($"doc_id")
+      .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
+      .withColumn("band",
+        substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L2 — 16-bit SimHash from token sha2 digests: per hex position,
+    * majority vote of the nibble's top bit over the doc's tokens.
+    * Hex-digit arithmetic (conv base16) keeps it engine-portable. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .withColumn("h", sha2($"tok", 256))
+      .select($"doc_id", $"h", explode(sequence(lit(1), lit(16))).as("p"))
+      .withColumn("v", conv(expr("substring(h, p, 1)"), 16, 10).cast("int"))
+      .withColumn("sgn", when($"v" >= 8, lit(1)).otherwise(lit(-1)))
+      .groupBy($"doc_id", $"p")
+      .agg(sum($"sgn").as("s"))
+      .withColumn("bit", when($"s" > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy($"doc_id")
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), p - 1)")).as("simhash"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_exact_dedup" -> (qExactDedup _),
+    "q_token_freq" -> (qTokenFreq _),
+    "q_doc_stats" -> (qDocStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_near_dup" -> (qNearDup _),
+    "q_minhash_sig" -> (qMinhashSig _),
+    "q_simhash" -> (qSimhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS content_hash,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY content_hash
+        |ORDER BY content_hash ASC NULLS FIRST""".stripMargin,
+    "q_token_freq" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
+        |LIMIT 50""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  max(n_chars) AS max_chars,
+        |  round(avg(len(string_split_regex(trim(lower(text)), ' +'))), 4) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q_lang_id" ->
+      """WITH lex(w, wlang) AS (VALUES
+        |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
+        |  ('el','es'),('la','es'),('de','es'),('y','es'),('que','es'),
+        |  ('le','fr'),('la','fr'),('de','fr'),('et','fr'),('un','fr'),
+        |  ('der','de'),('die','de'),('das','de'),('und','de'),('ein','de')),
+        |t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |      FROM documents),
+        |hits AS (SELECT doc_id, wlang, count(*) AS n_hits
+        |  FROM t JOIN lex ON tok = w GROUP BY doc_id, wlang),
+        |best AS (SELECT doc_id, wlang, n_hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, wlang ASC) AS rn
+        |  FROM hits)
+        |SELECT d.doc_id,
+        |  coalesce(b.wlang, 'und') AS pred_lang,
+        |  coalesce(b.n_hits, CAST(0 AS BIGINT)) AS n_hits
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n_tokens,
+        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
+        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
+        |      AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ttr, stop_ratio,
+        |  round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |FROM m
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(
+        |    list_sort(list_distinct(string_split_regex(trim(lower(text)), ' +'))), ' '))
+        |    AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_near_dup" ->
+      """WITH t AS (SELECT DISTINCT doc_id, source, lang,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.source = b.source
+        |    AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT da, db,
+        |    round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id)
+        |SELECT da, db, jaccard FROM j
+        |WHERE jaccard >= 0.9
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_minhash_sig" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id)
+        |SELECT doc_id, s0, s1, s2, s3,
+        |  substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |FROM sig
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_simhash" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 16) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g)
+        |SELECT doc_id,
+        |  CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+  )
+}

@@ -206,9 +206,9 @@ object Windows {
         |  CASE WHEN lag(ts_us, 1) OVER w IS NULL
         |         OR ts_us - lag(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
         |  ORDER BY ts_us ASC, event_id ASC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f)
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_idx

@@ -81,6 +81,20 @@ def main():
             print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark:  {scols}")
             n_fail += 1
             continue
+        # dtype-kind parity: the driver hashes Python values, so int
+        # width doesn't matter (r1: q_rank passed with int32 vs int64)
+        # but int-vs-float does (r1: q_case_when failed on
+        # HUGEINT->float64 vs bigint). Compare numpy dtype *kind*.
+        def kind(dt):
+            k = dt.kind
+            return "i" if k in "iu" else k
+        odt = [kind(odf[c].dtype) for c in ocols]
+        sdt = [kind(sdf[c].dtype) for c in scols]
+        if odt != sdt:
+            print(f"FAIL {name}: dtypes differ\n  oracle: {list(zip(ocols, odt))}\n"
+                  f"  spark:  {list(zip(scols, sdt))}")
+            n_fail += 1
+            continue
         if len(orows) != len(srows):
             print(f"FAIL {name}: row count {len(srows)} (spark) vs {len(orows)} (oracle)")
             n_fail += 1
