@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev profiler: time named queries (3 runs each, after a warmup) on
+  * SPARK_GRAFT_SF_DIR; `-e` also prints the formatted physical plan.
+  * Separates real per-query cost from this host's noise spikes
+  * (same query varies 4-18 s run-to-run — see .claude/skills/verify).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val explain = args.contains("-e")
+    val names = args.filterNot(_ == "-e") match {
+      case Array() => SparkEntry.queries.keys.toSeq.sorted
+      case a => a.toSeq
+    }
+    val spark = GraftSession.local()
+    SparkEntry.queries("q_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $n%-24s " + times.map(t => f"$t%6.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}

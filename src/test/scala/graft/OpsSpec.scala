@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops._
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape and semantic spot checks on sf0.001. The plan checks
+  * are the 100 TB assertions: broadcast where a dimension is small,
+  * top-k as TakeOrderedAndProject (no global sort), column pruning
+  * reaching the parquet scan. */
+class OpsSpec extends SparkSuite with Matchers {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("entry flagship returns rows (t1 smoke)") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every query has an oracle and runs on sf0.001") {
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    qs.keySet shouldBe os.keySet
+    qs.foreach { case (name, fn) =>
+      withClue(name) { fn(spark, sf).limit(1).collect() }
+    }
+  }
+
+  test("broadcast join plans a BroadcastHashJoin (no fact shuffle)") {
+    planOf(Joins.qBroadcastJoin(spark, sf)) should include("BroadcastHashJoin")
+  }
+
+  test("top-k plans TakeOrderedAndProject (no global sort)") {
+    planOf(Relational.qTopk(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("pricing summary prunes columns at the parquet scan") {
+    val plan = planOf(Relational.qPricingSummary(spark, sf))
+    plan should include("ReadSchema")
+    // untouched wide columns must not be read
+    plan should not include "l_comment"
+  }
+
+  test("anti join excludes exactly the blocklisted keys") {
+    import spark.implicits._
+    val blocked = graft.Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "AUTOMOBILE")
+      .select($"c_custkey").as[Long].collect().toSet
+    val out = Joins.qAntiJoin(spark, sf)
+      .select($"o_custkey").as[Long].collect()
+    out.exists(blocked.contains) shouldBe false
+  }
+
+  test("exact dedup partitions the corpus: keepers + copies = docs") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).count()
+    val agg = Text.qExactDedup(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum($"n_copies")).as[Long].head()
+    agg shouldBe docs
+  }
+
+  test("near-dup jaccard stays in (0, 1] and pairs are ordered") {
+    import spark.implicits._
+    val rows = Text.qNearDup(spark, sf)
+      .select($"da", $"db", $"jaccard").as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, j) =>
+      a should be < b
+      j should (be > 0.0 and be <= 1.0)
+    }
+  }
+
+  test("cosine top-k is a superset-rank of the IVF-bucketed variant") {
+    import spark.implicits._
+    // exact sim of the ANN result can never exceed the brute-force rank-1
+    val exact = Similarity.qCosineTopk(spark, sf)
+      .filter($"rnk" === 1).select($"q_id", $"sim").as[(Long, Double)]
+      .collect().toMap
+    val ivf = Similarity.qAnnIvf(spark, sf)
+      .filter($"rnk" === 1).select($"q_id", $"sim").as[(Long, Double)]
+      .collect()
+    ivf.foreach { case (q, s) => s should be <= exact(q) }
+  }
+
+  test("minhash band collisions imply identical 4-hash signatures") {
+    import spark.implicits._
+    val sig = Text.qMinhashSig(spark, sf)
+      .select($"band", $"s0", $"s1", $"s2", $"s3")
+      .as[(String, String, String, String, String)].collect()
+    sig.groupBy(_._1).values.foreach { grp =>
+      grp.map(t => (t._2, t._3, t._4, t._5)).distinct.size shouldBe 1
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** T8 streaming surface: watermarked tumbling windows and
+  * session_window over MemoryStream — the streaming twins of
+  * q_tumbling_window / q_sessionize. */
+class StreamingWindowSpec extends SparkSuite with Matchers {
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("watermark + tumbling window aggregates and finalizes closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(5), 1.0), (ts(20), 2.0), (ts(65), 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close hour 0 AND hour 1
+      mem.addData((ts(200), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select($"window.start".cast("long").as("w"), $"n", $"s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      rows should contain((0L, 2L, 3.0))
+      rows should contain((3600L, 1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("session_window groups by activity gaps per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // u1: two events 5 min apart (one session), then one 90 min later
+      mem.addData((ts(0), "u1"), (ts(5), "u1"), (ts(95), "u1"))
+      q.processAllAvailable()
+      mem.addData((ts(300), "u1")) // advance watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user", $"n").as[(String, Long)].collect().sorted
+      rows should contain(("u1", 2L))
+      rows should contain(("u1", 1L))
+    } finally q.stop()
+  }
+}
