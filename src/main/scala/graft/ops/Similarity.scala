@@ -65,9 +65,32 @@ object Similarity {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     cosine(spark, dir, sameBucketOnly = true)
 
+  /** Embedding-cosine near-dup (the dedup family's dense sibling):
+    * all same-cell pairs with cosine ≥ 0.35 (the anomalous-similarity tail of this corpus). Cell (label) blocking
+    * keeps the pair space per-cell quadratic — at 100 TB the cells
+    * come from a k-means/LSH pass, exactly like q_minhash_sig's
+    * bands for text. */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"label", $"vec", $"nrm")
+    val a = base.select($"vec_id".as("va"), $"label".as("la"),
+      $"vec".as("ea"), $"nrm".as("na"))
+    val b = base.select($"vec_id".as("vb"), $"label".as("lb"),
+      $"vec".as("eb"), $"nrm".as("nb"))
+    a.join(b, $"la" === $"lb" && $"va" < $"vb")
+      .withColumn("sim", round(
+        aggregate(zip_with($"ea", $"eb", (x, y) => x * y), lit(0.0), (s, x) => s + x)
+          / ($"na" * $"nb"), 4))
+      .filter($"sim" >= 0.35)
+      .select($"va", $"vb", $"sim")
+      .orderBy($"va".asc_nulls_first, $"vb".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
   )
 
   /** Oracle formulation: per-element lateral expansion
@@ -98,5 +121,19 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> oracleCosine(""),
     "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
+    "q_embed_neardup" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pe GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |  FROM pe a JOIN pe b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |s AS (SELECT va, vb, round(dot / (na.nrm * nb.nrm), 4) AS sim
+        |  FROM d JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id)
+        |SELECT va, vb, sim FROM s WHERE sim >= 0.35
+        |ORDER BY va ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -188,6 +188,37 @@ object Text {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L2 — near-dup by BIGRAM-SHINGLE Jaccard (order-sensitive,
+    * catches reorderings that token-set Jaccard misses): shingles via
+    * zip-with-next over the token array, then the same blocked
+    * intersection join as q_near_dup. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .withColumn("tk", toks($"text"))
+      .select($"doc_id", $"source", $"lang",
+        explode(array_distinct(zip_with(
+          slice($"tk", lit(1), size($"tk") - 1),
+          slice($"tk", lit(2), size($"tk") - 1),
+          (a, b) => concat_ws(" ", a, b)))).as("sh"))
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = t.alias("a")
+      .join(t.alias("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.source") === col("b.source") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select($"doc_id".as("da"), $"n".as("na"))), "da")
+      .join(broadcast(sizes.select($"doc_id".as("db"), $"n".as("nb"))), "db")
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= 0.3)
+      .select($"da", $"db", $"jaccard")
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
   /** L2 — 16-bit SimHash from token sha2 digests: per hex position,
     * majority vote of the nibble's top bit over the doc's tokens.
     * Hex-digit arithmetic (conv base16) keeps it engine-portable. */
@@ -216,6 +247,7 @@ object Text {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_near_dup" -> (qNearDup _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_simhash" -> (qSimhash _),
   )
@@ -303,6 +335,29 @@ object Text {
         |  JOIN sizes sb ON db = sb.doc_id)
         |SELECT da, db, jaccard FROM j
         |WHERE jaccard >= 0.9
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t0 AS (SELECT doc_id, source, lang,
+        |    string_split_regex(trim(lower(text)), ' +') AS tk
+        |  FROM documents),
+        |tpos AS (SELECT doc_id, source, lang,
+        |    generate_subscripts(tk, 1) AS i, unnest(tk) AS tok
+        |  FROM t0),
+        |sh AS (SELECT DISTINCT a.doc_id, a.source, a.lang,
+        |    a.tok || ' ' || b.tok AS sh
+        |  FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source
+        |    AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT da, db,
+        |    round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id)
+        |SELECT da, db, jaccard FROM j
+        |WHERE jaccard >= 0.3
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_minhash_sig" ->
       """WITH t AS (SELECT DISTINCT doc_id,
