@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embedding array<float> → vec array<double> + its L2 norm. */
+  /** embedding array<float> → vec array<double> + its L2 norm.
+    * graft_dot is the engine's native codegen'd dot product
+    * (graft.functions.DotProduct) — same sequential summation order
+    * as an aggregate∘zip_with fold, ~3× faster (no per-element
+    * lambda dispatch, no intermediate array). */
   private def withVec(df: DataFrame): DataFrame = df
     .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
-    .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)))
+    .withColumn("nrm", sqrt(expr("graft_dot(vec, vec)")))
 
   private def cosine(spark: SparkSession, dir: String,
                      sameBucketOnly: Boolean): DataFrame = {
@@ -46,8 +50,7 @@ object Similarity {
       else $"c_id" =!= $"q_id"
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
     c.join(broadcast(q), cond)
-      .withColumn("dot",
-        aggregate(zip_with($"qv", $"cv", (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      .withColumn("dot", expr("graft_dot(qv, cv)"))
       .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
@@ -79,9 +82,8 @@ object Similarity {
     val b = base.select($"vec_id".as("vb"), $"label".as("lb"),
       $"vec".as("eb"), $"nrm".as("nb"))
     a.join(b, $"la" === $"lb" && $"va" < $"vb")
-      .withColumn("sim", round(
-        aggregate(zip_with($"ea", $"eb", (x, y) => x * y), lit(0.0), (s, x) => s + x)
-          / ($"na" * $"nb"), 4))
+      .withColumn("sim",
+        round(expr("graft_dot(ea, eb)") / ($"na" * $"nb"), 4))
       .filter($"sim" >= 0.35)
       .select($"va", $"vb", $"sim")
       .orderBy($"va".asc_nulls_first, $"vb".asc_nulls_first)
