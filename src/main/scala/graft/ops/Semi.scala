@@ -112,6 +112,18 @@ object Semi {
       .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
+  /** A6 — cube: all grouping-set combinations in one pass (rollup's
+    * superset; same single-shuffle expansion). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .cube($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        grouping($"event_type").cast("int").as("g_type"))
+      .orderBy($"event_type".asc_nulls_first, $"day".asc_nulls_first,
+        $"g_type".asc_nulls_first)
+  }
+
   /** Pivot — events.event_type fanned out to per-type count columns
     * (explicit value list so the plan is static: no extra collect
     * pass to discover values, which matters at 100 TB). */
@@ -133,6 +145,7 @@ object Semi {
     "q_hash_hex" -> (qHashHex _),
     "q_default_overlay" -> (qDefaultOverlay _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
   )
 
@@ -188,6 +201,15 @@ object Semi {
         |FROM orders
         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(grouping(event_type) AS INT) AS g_type
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST,
+        |  g_type ASC NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
