@@ -33,6 +33,18 @@ class OpsSpec extends SparkSuite with Matchers {
     planOf(Relational.qTopk(spark, sf)) should include("TakeOrderedAndProject")
   }
 
+  test("range join stays an equi join with a residual, never a cross product") {
+    val plan = planOf(Joins.qRangeJoin(spark, sf))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("as-of join is one window pass, not a correlated per-row scan") {
+    val plan = planOf(Windows.qAsofJoin(spark, sf))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("pricing summary prunes columns at the parquet scan") {
     val plan = planOf(Relational.qPricingSummary(spark, sf))
     plan should include("ReadSchema")
