@@ -81,6 +81,38 @@ object RetryStateMachine {
           Transition(a.streamId, a.ts, s.retryId + 1, s.attempts, "retry"))
   }
 
+  /** The per-group handler, factored out so it is unit-testable with
+    * the public `TestGroupState` harness (timeout paths can't be
+    * driven deterministically through a live query: a timeout-armed
+    * stream busy-loops empty micro-batches). */
+  private[graft] def handleGroup(retries: Int, stalenessMs: Long)(
+      key: String, it: Iterator[Attempt], gs: GroupState[CaptureState])
+      : Iterator[Transition] =
+    if (gs.hasTimedOut) {
+      // T7: idle session killed (the reference's stubbed healthcheck,
+      // manager.py:250-266).
+      val s = gs.get
+      gs.remove()
+      Iterator(Transition(key, -1L, s.retryId, s.attempts, "stalled"))
+    } else {
+      // Per-trigger events replayed in event order: the iterator
+      // order is not guaranteed by the engine, the sort makes the
+      // fold deterministic (the manager processes serially per key).
+      var st: Option[CaptureState] = gs.getOption
+      val out = it.toSeq.sortBy(_.ts).map { a =>
+        val (ns, t) = step(retries)(st, a)
+        st = ns
+        t
+      }
+      st match {
+        case Some(s) =>
+          gs.update(s)
+          if (stalenessMs > 0) gs.setTimeoutDuration(stalenessMs)
+        case None => if (gs.exists) gs.remove()
+      }
+      out.iterator
+    }
+
   /** Streaming form. staleness > 0 arms ProcessingTimeTimeout (T7):
     * a key with no attempts for `staleness` ms emits "stalled" and
     * drops its state — the reference's TODO'd healthcheck killer. */
@@ -93,31 +125,7 @@ object RetryStateMachine {
       .flatMapGroupsWithState[CaptureState, Transition](
         OutputMode.Append,
         if (stalenessMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Attempt], gs: GroupState[CaptureState]) =>
-          if (gs.hasTimedOut) {
-            val s = gs.get
-            gs.remove()
-            Iterator(Transition(key, -1L, s.retryId, s.attempts, "stalled"))
-          } else {
-            // Per-trigger events replayed in event order: the iterator
-            // order is not guaranteed by the engine, the sort makes the
-            // fold deterministic (the manager processes serially per key).
-            var st: Option[CaptureState] = gs.getOption
-            val out = it.toSeq.sortBy(_.ts).map { a =>
-              val (ns, t) = step(retries)(st, a)
-              st = ns
-              t
-            }
-            st match {
-              case Some(s) =>
-                gs.update(s)
-                if (stalenessMs > 0) gs.setTimeoutDuration(stalenessMs)
-              case None => if (gs.exists) gs.remove()
-            }
-            out.iterator
-          }
-      }
+        else GroupStateTimeout.NoTimeout)(handleGroup(retries, stalenessMs))
   }
 
   /** Batch analog over a static Dataset — identical fold, used for

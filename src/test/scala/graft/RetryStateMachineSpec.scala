@@ -75,6 +75,33 @@ class RetryStateMachineSpec extends SparkSuite with Matchers {
     out("b").map(_.action).toSeq shouldBe Seq("abandon_poll")
   }
 
+  test("staleness timeout kills an idle session (T7, manager.py:250-266)") {
+    // Deterministic via the public TestGroupState harness — a live
+    // timeout-armed query busy-loops empty micro-batches, so timeouts
+    // are unit-tested at the handler boundary instead.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val timedOut = TestGroupState.create[CaptureState](
+      Optional.of(CaptureState(retryId = 2, sessionStart = 1L, attempts = 3)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out = RetryStateMachine.handleGroup(5, 1500L)(
+      "idle", Iterator.empty, timedOut).toList
+    out.map(_.action) shouldBe List("stalled")
+    out.head.retryId shouldBe 2
+    timedOut.exists shouldBe false // state dropped with the session
+
+    // and a live (non-timed-out) group arms the timeout on update
+    val live = TestGroupState.create[CaptureState](
+      Optional.empty[CaptureState](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    RetryStateMachine.handleGroup(5, 1500L)(
+      "s", Iterator(Attempt("s", 1L, pollAttempt = false, gotData = true)),
+      live).toList.map(_.action) shouldBe List("start")
+    live.getTimeoutTimestampMs.isPresent shouldBe true
+  }
+
   test("streaming path over MemoryStream matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
