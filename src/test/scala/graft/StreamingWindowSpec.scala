@@ -36,6 +36,48 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermarked dropDuplicates keeps first arrival (U2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      mem.addData((ts(4), "a"), (ts(5), "c")) // 'a' is a late duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"id").as[String]
+        .collect().sorted
+      ids shouldBe Array("a", "b", "c")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: per-batch idempotent write keyed by batchId (S9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val mem = MemoryStream[(Timestamp, Double)]
+    // The reference checkpoints state on every transition
+    // (state.py:25-38); the engine's analog is a foreachBatch sink
+    // whose write is keyed by batchId — replays overwrite, not double.
+    val q = mem.toDF().toDF("ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 1.0), (ts(2), 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(3), 3.0))
+      q.processAllAvailable()
+      spark.read.parquet(s"$out/batch=*").count() shouldBe 3L
+    } finally q.stop()
+  }
+
   test("session_window groups by activity gaps per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
