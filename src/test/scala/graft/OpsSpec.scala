@@ -25,6 +25,19 @@ class OpsSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("SQL text surface: graft_dot resolves via GraftExtensions") {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val sq = spark.sql(
+      """SELECT vec_id,
+        |  graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |            transform(embedding, x -> CAST(x AS DOUBLE))) AS sq
+        |FROM emb""".stripMargin)
+      .select($"sq").as[Double].collect()
+    sq.length should be > 0
+    sq.foreach(_ should be >= 0.0) // self dot product is a squared norm
+  }
+
   test("broadcast join plans a BroadcastHashJoin (no fact shuffle)") {
     planOf(Joins.qBroadcastJoin(spark, sf)) should include("BroadcastHashJoin")
   }
