@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** The 100 TB approximation path (SURVEY §2.4 A5/A8: sketches for
+  * exploration, exact reserved for oracles), the per-key UDF
+  * parameterization boundary (X2), and the trivial line IO (S5/S12).
+  */
+class SketchSpec extends SparkSuite with Matchers {
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact (A5)") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val (exact, approx) = li.agg(
+      countDistinct($"l_partkey"), approx_count_distinct($"l_partkey", 0.05))
+      .as[(Long, Long)].head()
+    math.abs(approx - exact).toDouble / exact should be <= 0.05
+  }
+
+  test("percentile_approx tracks the exact percentile (A8)") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sf)
+    val (exact, approx) = c.agg(
+      percentile($"c_acctbal", lit(0.5)),
+      percentile_approx($"c_acctbal", lit(0.5), lit(10000)))
+      .as[(Double, Double)].head()
+    // percentile_approx returns an observed value; must be within the
+    // local neighborhood of the interpolated exact median
+    val spread = c.agg(max($"c_acctbal") - min($"c_acctbal")).as[Double].head()
+    math.abs(approx - exact) should be <= spread * 0.02
+  }
+
+  test("per-key UDF parameterization via broadcast map (X2, manager.py:331-336)") {
+    import spark.implicits._
+    // streamlink_args: per-stream extra argv consulted inside the UDF
+    val perKeyArgs = spark.sparkContext.broadcast(
+      Map("clicks" -> "--fast", "errors" -> "--retry"))
+    val argvOf = udf((key: String) =>
+      Seq("download", key) ++ perKeyArgs.value.get(key).toSeq)
+    val out = Seq("clicks", "errors", "views").toDF("key")
+      .select($"key", argvOf($"key").as("argv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    out("clicks") shouldBe Seq("download", "clicks", "--fast")
+    out("views") shouldBe Seq("download", "views") // no override → defaults
+  }
+
+  test("line-oriented text source and timestamped log sink (S5/S12)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Files.write(java.nio.file.Paths.get(dir, "readydir-list.txt"),
+      "a.mkv\nb.mkv\n\nc.mkv".getBytes("UTF-8"))
+    val lines = spark.read.text(s"$dir/readydir-list.txt")
+      // functions.length is shadowed by Matchers.length in test scope
+      .filter(org.apache.spark.sql.functions.length(trim($"value")) > 0)
+    lines.count() shouldBe 3L
+    // log sink: ISO-timestamped lines (convert.sh:12-15's log())
+    val logDir = s"$dir/log"
+    lines.select(concat(
+      date_format(lit("2024-01-02T03:04:05").cast("timestamp"),
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      lit(" converting "), $"value").as("value"))
+      .coalesce(1).write.text(logDir)
+    val logged = spark.read.text(logDir).as[String].collect()
+    logged should have size 3
+    logged.foreach(_ should startWith("2024-01-02T03:04:05 converting "))
+  }
+}
