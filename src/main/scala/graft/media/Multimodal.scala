@@ -104,10 +104,16 @@ object Multimodal {
   /** Packet-timeline analytics on the nested array WITHOUT exploding
     * per-row state to a shuffle: gap detection via zip-with-next
     * array expressions (W2's rationale, convert.sh:60-62). */
-  def packetGaps(ds: Dataset[MediaRecord]): DataFrame = {
-    val spark = ds.sparkSession
+  def packetGaps(ds: Dataset[MediaRecord]): DataFrame = packetGapsOf(ds.toDF())
+
+  /** Untyped variant (erasure forbids an overload): any
+    * (mediaId, packets: array&lt;struct&gt;) frame — e.g.
+    * sources.MediaInventory.packetsNested over a real
+    * `_packets.json.gz` read — gets the same zip-with-next analytics. */
+  def packetGapsOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    ds.toDF()
+    df
       .select($"mediaId", $"packets")
       .withColumn("pts", transform($"packets", p => p.getField("ptsTime")))
       .withColumn("gaps",

@@ -161,9 +161,12 @@ object Text {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
+    // `sizes` is one row PER DOCUMENT — corpus-sized, never broadcast.
+    // Plain equi-joins shuffle on the doc id (the same key `inter` is
+    // already grouped by, so the exchange is cheap and bounded).
     inter
-      .join(broadcast(sizes.select($"doc_id".as("da"), $"n".as("na"))), "da")
-      .join(broadcast(sizes.select($"doc_id".as("db"), $"n".as("nb"))), "db")
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.9)
       .select($"da", $"db", $"jaccard")
@@ -175,7 +178,7 @@ object Text {
     * hash ordering), banded into one LSH bucket key. At 100 TB the
     * LSH band join replaces q_near_dup's block join: candidates =
     * docs sharing a band bucket. */
-  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def mh(salt: String): Column =
       min(sha2(concat(lit(salt + ":"), $"tok"), 256))
@@ -185,7 +188,31 @@ object Text {
       .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
       .withColumn("band",
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
-      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashSigs(spark, dir).orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L6 consumer — the LSH banded candidate join, the 100 TB dedup
+    * path: docs sharing a band bucket become candidate pairs via ONE
+    * shuffle on the band key (per-bucket quadratic, never
+    * corpus-quadratic). Each doc carries exactly one band here
+    * (b=1, r=4 LSH), so pairs are emitted at most once; a multi-band
+    * deployment adds `select distinct` over (da, db). Downstream, a
+    * full-signature (or exact-Jaccard) check re-ranks the candidates —
+    * q_near_dup's metric applied to this candidate set instead of the
+    * (source, lang) blocks. */
+  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+    sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.band").as("band"))
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
   /** L2 — near-dup by BIGRAM-SHINGLE Jaccard (order-sensitive,
@@ -210,9 +237,10 @@ object Text {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
+    // per-document aggregate — shuffle join, never broadcast (see qNearDup)
     inter
-      .join(broadcast(sizes.select($"doc_id".as("da"), $"n".as("na"))), "da")
-      .join(broadcast(sizes.select($"doc_id".as("db"), $"n".as("nb"))), "db")
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.3)
       .select($"da", $"db", $"jaccard")
@@ -249,6 +277,7 @@ object Text {
     "q_near_dup" -> (qNearDup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
+    "q_minhash_dedup" -> (qMinhashDedup _),
     "q_simhash" -> (qSimhash _),
   )
 
@@ -373,6 +402,22 @@ object Text {
         |  substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
         |FROM sig
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_minhash_dedup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig)
+        |SELECT x.doc_id AS da, y.doc_id AS db, x.band AS band
+        |FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_simhash" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

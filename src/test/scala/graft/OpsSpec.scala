@@ -105,6 +105,41 @@ class OpsSpec extends SparkSuite with Matchers {
     ivf.foreach { case (q, s) => s should be <= exact(q) }
   }
 
+  test("jaccard sizes join is never hint-forced to broadcast (100 TB safety)") {
+    // `sizes` is a per-document aggregate — corpus-sized at scale. With
+    // auto-broadcast off (= what stats dictate at 100 TB) the plan must
+    // contain NO BroadcastExchange: proves no hard-coded broadcast hint.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      planOf(Text.qNearDup(spark, sf)) should not include "BroadcastExchange"
+      planOf(Text.qNgramJaccard(spark, sf)) should not include "BroadcastExchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("LSH banded join recovers every near-dup pair that shares a band") {
+    import spark.implicits._
+    val band = Text.qMinhashSig(spark, sf)
+      .select($"doc_id", $"band").as[(Long, String)].collect().toMap
+    val cand = Text.qMinhashDedup(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    cand should not be empty
+    val near = Text.qNearDup(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect()
+    near.filter { case (a, b) => band(a) == band(b) }
+      .foreach(p => cand should contain(p))
+  }
+
+  test("IVF ANN is a BroadcastHashJoin on the cell key; brute force is the only BNLJ") {
+    val ivf = planOf(Similarity.qAnnIvf(spark, sf))
+    ivf should include("BroadcastHashJoin")
+    ivf should not include "BroadcastNestedLoopJoin"
+    ivf should not include "CartesianProduct"
+    // brute-force cosine has no equi key by design — BNLJ against the
+    // broadcast query set is the intended (and only) nested-loop plan
+    planOf(Similarity.qCosineTopk(spark, sf)) should include("BroadcastNestedLoopJoin")
+  }
+
   test("minhash band collisions imply identical 4-hash signatures") {
     import spark.implicits._
     val sig = Text.qMinhashSig(spark, sf)

@@ -63,3 +63,45 @@ object PropertySpec extends Properties("graft") {
       sig(toks) == sig(shuffled ++ toks.take(1)) // dup + reorder → same min
     }
 }
+
+/** The §4.3 skew property: two-phase salted aggregation must be
+  * value-equivalent to the direct groupBy on ANY input — generated
+  * skew (one hot key dominating), any salt fanout. Separate Properties
+  * object: each case runs two Spark jobs, so the test count is bounded
+  * here without touching the pure properties above. */
+object SkewPropertySpec extends Properties("graft.skew") {
+  import graft.ops.Skew
+  import org.apache.spark.sql.functions.{col, count, lit, sum}
+  import org.scalacheck.Test
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val rowsGen: Gen[List[(String, Double, Long)]] = for {
+    nHot <- Gen.choose(40, 120) // the straggler key
+    nCold <- Gen.choose(0, 25)
+    hotVals <- Gen.listOfN(nHot, Gen.choose(-1000.0, 1000.0))
+    coldRows <- Gen.listOfN(nCold,
+      Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.choose(-1000.0, 1000.0)))
+  } yield hotVals.zipWithIndex.map { case (v, i) => ("hot", v, i.toLong) } ++
+    coldRows.zipWithIndex.map { case ((k, v), i) => (k, v, (10000 + i).toLong) }
+
+  property("saltedAgg ≡ direct groupBy under generated skew, any fanout") =
+    forAll(rowsGen, Gen.oneOf(1, 3, 16)) { (rows, salts) =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      val df = rows.toDF("k", "v", "id")
+      def norm(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getDouble(2))
+      val direct = df.groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .collect().map(norm).sortBy(_._1)
+      val salted = Skew.saltedAgg(df, "k", "v", "id", salts)
+        .collect().map(norm).sortBy(_._1)
+      salted.map(t => (t._1, t._2)).sameElements(direct.map(t => (t._1, t._2))) &&
+        // double sums reassociate across salts — compare to relative 1e-9
+        salted.zip(direct).forall { case (a, b) =>
+          math.abs(a._3 - b._3) <= math.abs(b._3) * 1e-9 + 1e-12
+        }
+    }
+}
