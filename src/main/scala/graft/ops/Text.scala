@@ -215,6 +215,40 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L2+L6 — the END-TO-END 100 TB dedup pipeline in one query:
+    * LSH band collisions generate the candidate pairs (qMinhashDedup's
+    * join), then the EXACT token-set Jaccard is computed for those
+    * pairs only — the expensive intersection join touches |candidates|
+    * pairs instead of every same-block pair. This is the production
+    * shape: q_near_dup's metric, q_minhash_dedup's candidate
+    * generation. Tokens of each side attach via two equi-joins on the
+    * doc id (shuffle by doc_id — the key both inputs already
+    * aggregate on), intersection = count of shared tokens. */
+  def qLshNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val cand = sig.alias("x")
+      .join(sig.alias("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
+      .join(t.alias("tb"),
+        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= 0.9)
+      .select($"da", $"db", $"jaccard")
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
   /** L2 — near-dup by BIGRAM-SHINGLE Jaccard (order-sensitive,
     * catches reorderings that token-set Jaccard misses): shingles via
     * zip-with-next over the token array, then the same blocked
@@ -278,6 +312,7 @@ object Text {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
   )
 
@@ -417,6 +452,35 @@ object Text {
         |  FROM sig)
         |SELECT x.doc_id AS da, y.doc_id AS db, x.band AS band
         |FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_lsh_neardup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |cand AS (SELECT x.doc_id AS da, y.doc_id AS db
+        |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS inter
+        |  FROM cand c
+        |  JOIN t ta ON c.da = ta.doc_id
+        |  JOIN t tb ON c.db = tb.doc_id AND ta.tok = tb.tok
+        |  GROUP BY c.da, c.db),
+        |j AS (SELECT da, db,
+        |    round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id)
+        |SELECT da, db, jaccard FROM j
+        |WHERE jaccard >= 0.9
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_simhash" ->
       """WITH t AS (SELECT DISTINCT doc_id,

@@ -130,6 +130,29 @@ class OpsSpec extends SparkSuite with Matchers {
       .foreach(p => cand should contain(p))
   }
 
+  test("end-to-end LSH dedup: exact re-rank over candidates, exact dups survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lower, sha2, trim}
+    val cand = Text.qMinhashDedup(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val out = Text.qLshNeardup(spark, sf)
+      .select($"da", $"db", $"jaccard").as[(Long, Long, Double)].collect()
+    out should not be empty
+    // re-rank only ever filters the candidate set
+    out.foreach { case (a, b, j) =>
+      cand should contain((a, b))
+      j should (be >= 0.9 and be <= 1.0)
+    }
+    // byte-identical documents have identical signatures → same band →
+    // jaccard 1.0: every exact-dup pair must survive the whole pipeline
+    val byHash = graft.Tables.documents(spark, sf)
+      .select($"doc_id", sha2(lower(trim($"text")), 256).as("h"))
+      .as[(Long, String)].collect().groupBy(_._2).values
+    val outSet = out.map(t => (t._1, t._2)).toSet
+    for (grp <- byHash if grp.length > 1; Array(a, b) <- grp.map(_._1).sorted.combinations(2))
+      outSet should contain((a, b))
+  }
+
   test("IVF ANN is a BroadcastHashJoin on the cell key; brute force is the only BNLJ") {
     val ivf = planOf(Similarity.qAnnIvf(spark, sf))
     ivf should include("BroadcastHashJoin")
