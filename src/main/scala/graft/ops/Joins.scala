@@ -97,6 +97,30 @@ object Joins {
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** J7/O2 headline — shipping-priority (TPC-H Q3 shape): segment-
+    * filtered customer dim broadcast into date-filtered orders, one
+    * fact-fact shuffle to date-filtered lineitem, revenue agg, top-10.
+    * The two date predicates and the segment filter all push to the
+    * parquet scans (PushedFilters), and orderBy+limit collapses to
+    * TakeOrderedAndProject — no global sort. */
+  def qShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cutoff)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc_nulls_last, $"o_orderdate".asc_nulls_first,
+        $"l_orderkey".asc_nulls_first)
+      .limit(10)
+  }
+
   /** J8 — range join: equi key + date-range residual. Spark plans the
     * equi part as the join key and evaluates the residual as a post-
     * filter inside the join — no cross product. */
@@ -137,6 +161,7 @@ object Joins {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_multiway_join" -> (qMultiwayJoin _),
+    "q_ship_priority" -> (qShipPriority _),
     "q_range_join" -> (qRangeJoin _),
     "q_union_dedup" -> (qUnionDedup _),
   )
@@ -184,6 +209,19 @@ object Joins {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+        |  l_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_late
         |FROM orders JOIN lineitem

@@ -163,6 +163,14 @@ class OpsSpec extends SparkSuite with Matchers {
     planOf(Similarity.qCosineTopk(spark, sf)) should include("BroadcastNestedLoopJoin")
   }
 
+  test("ship-priority pushes both date filters to the scans and plans top-k") {
+    val plan = planOf(Joins.qShipPriority(spark, sf))
+    plan should include("TakeOrderedAndProject") // no global sort for LIMIT 10
+    plan should include("GreaterThan(l_shipdate") // PushedFilters reach parquet
+    plan should include("LessThan(o_orderdate")
+    plan should include("BroadcastHashJoin") // customer dim never shuffles the fact
+  }
+
   test("minhash band collisions imply identical 4-hash signatures") {
     import spark.implicits._
     val sig = Text.qMinhashSig(spark, sf)
