@@ -281,10 +281,9 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
-  /** L2 — 16-bit SimHash from token sha2 digests: per hex position,
-    * majority vote of the nibble's top bit over the doc's tokens.
-    * Hex-digit arithmetic (conv base16) keeps it engine-portable. */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** 16-bit SimHash per document (see qSimhash). One row per doc:
+    * (doc_id, simhash). */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
@@ -297,7 +296,63 @@ object Text {
       .withColumn("bit", when($"s" > 0, lit(1L)).otherwise(lit(0L)))
       .groupBy($"doc_id")
       .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), p - 1)")).as("simhash"))
-      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L2 — 16-bit SimHash from token sha2 digests: per hex position,
+    * majority vote of the nibble's top bit over the doc's tokens.
+    * Hex-digit arithmetic (conv base16) keeps it engine-portable. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashSigs(spark, dir).orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** 63-bit SimHash (the near-dup resolution; the 16-bit qSimhash is
+    * the compact fingerprint surface). 63 not 64: both engines then
+    * stay in non-negative BIGINT territory — DuckDB raises on
+    * `1 << 63` where Spark would wrap, so bit 64 is unusable
+    * portably. */
+  private[graft] def simhashSigs63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .withColumn("h", sha2($"tok", 256))
+      .select($"doc_id", $"h", explode(sequence(lit(1), lit(63))).as("p"))
+      .withColumn("v", conv(expr("substring(h, p, 1)"), 16, 10).cast("int"))
+      .withColumn("sgn", when($"v" >= 8, lit(1)).otherwise(lit(-1)))
+      .groupBy($"doc_id", $"p")
+      .agg(sum($"sgn").as("s"))
+      .withColumn("bit", when($"s" > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy($"doc_id")
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), p - 1)")).as("simhash"))
+  }
+
+  /** L7 consumer — SimHash near-dup over the 63-bit signature.
+    * Candidate generation bands the signature into 4 16-bit chunks
+    * (the top chunk is 15 bits); by pigeonhole any pair within
+    * hamming distance 3 differs in at most 3 bands, so it collides on
+    * at least one — an equi self-join on (band_pos, chunk), 4 rows
+    * per doc, never all-pairs. Exact re-rank computes
+    * bit_count(sa ^ sb) over the candidates only. At 100 TB the
+    * shuffle carries (doc_id, 8-byte sig) and the band join's fanout
+    * is bounded by real collisions — the same recall/cost contract as
+    * q_minhash_dedup's LSH bands. */
+  def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = simhashSigs63(spark, dir)
+      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
+      .withColumn("bv", expr("(simhash >> (bp * 16)) & 65535"))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.bp") === col("y.bp") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct() // a pair may collide on several bands
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter($"hamming" <= 3)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
   val queries: Map[String, Q] = Map(
@@ -314,6 +369,7 @@ object Text {
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_neardup" -> (qSimhashNeardup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -499,5 +555,32 @@ object Text {
         |FROM bits
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_simhash_neardup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 63) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bp,
+        |    (simhash >> (bp * 16)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) s(bp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x
+        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -171,6 +171,22 @@ class OpsSpec extends SparkSuite with Matchers {
     plan should include("BroadcastHashJoin") // customer dim never shuffles the fact
   }
 
+  test("simhash banded join recovers every brute-force pair with hamming <= 3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // brute force: all pairs, exact hamming on the 63-bit signatures
+    val sig = Text.simhashSigs63(spark, sf).select($"doc_id", $"simhash")
+    val brute = sig.alias("a")
+      .join(sig.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+      .filter($"hamming" <= 3)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .as[(Long, Long)].collect().toSet
+    val banded = Text.qSimhashNeardup(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    banded shouldBe brute // pigeonhole: 4 nibble bands cover distance 3
+  }
+
   test("minhash band collisions imply identical 4-hash signatures") {
     import spark.implicits._
     val sig = Text.qMinhashSig(spark, sf)

@@ -78,6 +78,36 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to prior impressions (J8 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Timestamp, String)]
+    val clk = MemoryStream[(Timestamp, String)]
+    // Both sides watermarked; the interval bound lets Spark expire
+    // impression state once clk watermark passes imp_ts + 30 min —
+    // bounded state at any scale, the requirement for a 100 TB/day
+    // stream-stream join.
+    val joined = imp.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+      .join(
+        clk.toDF().toDF("clk_ts", "clk_ad").withWatermark("clk_ts", "10 minutes"),
+        expr("ad = clk_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    // day-1 base: epoch-0 events sit exactly AT the initial watermark,
+    // whose state-cleanup threshold clamps at 0 and evicts them
+    def tsd(min: Int): Timestamp = new Timestamp(86400000L + min * 60000L)
+    try {
+      imp.addData((tsd(0), "a"), (tsd(0), "b"))
+      clk.addData((tsd(10), "a")) // inside a's 30-min attribution window
+      q.processAllAvailable()
+      clk.addData((tsd(50), "b")) // outside the window: must NOT match
+      q.processAllAvailable()
+      val matched = spark.table("ssjoin_out").select($"ad").as[String].collect().sorted
+      matched shouldBe Array("a")
+    } finally q.stop()
+  }
+
   test("session_window groups by activity gaps per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
