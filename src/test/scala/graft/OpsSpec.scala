@@ -130,27 +130,34 @@ class OpsSpec extends SparkSuite with Matchers {
       .foreach(p => cand should contain(p))
   }
 
-  test("end-to-end LSH dedup: exact re-rank over candidates, exact dups survive") {
+  test("end-to-end LSH dedup: star re-rank against the band representative") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lower, sha2, trim}
-    val cand = Text.qMinhashDedup(spark, sf)
-      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val band = Text.qMinhashSig(spark, sf)
+      .select($"doc_id", $"band").as[(Long, String)].collect().toMap
+    val repOf = band.groupMapReduce(_._2)(_._1)(math.min) // band -> min doc
     val out = Text.qLshNeardup(spark, sf)
       .select($"da", $"db", $"jaccard").as[(Long, Long, Double)].collect()
     out should not be empty
-    // re-rank only ever filters the candidate set
+    // every row pairs a doc with ITS band's representative, re-ranked
     out.foreach { case (a, b, j) =>
-      cand should contain((a, b))
+      a shouldBe repOf(band(b))
+      band(a) shouldBe band(b)
       j should (be >= 0.9 and be <= 1.0)
     }
-    // byte-identical documents have identical signatures → same band →
-    // jaccard 1.0: every exact-dup pair must survive the whole pipeline
+    // byte-identical docs share a signature hence a band; when the
+    // band representative is inside such a group, every other member
+    // must be flagged against it with jaccard 1.0
     val byHash = graft.Tables.documents(spark, sf)
       .select($"doc_id", sha2(lower(trim($"text")), 256).as("h"))
       .as[(Long, String)].collect().groupBy(_._2).values
     val outSet = out.map(t => (t._1, t._2)).toSet
-    for (grp <- byHash if grp.length > 1; Array(a, b) <- grp.map(_._1).sorted.combinations(2))
-      outSet should contain((a, b))
+    for (grp <- byHash if grp.length > 1) {
+      val ids = grp.map(_._1).sorted
+      val rep = repOf(band(ids.head))
+      if (ids.contains(rep))
+        ids.filterNot(_ == rep).foreach(d => outSet should contain((rep, d)))
+    }
   }
 
   test("IVF ANN is a BroadcastHashJoin on the cell key; brute force is the only BNLJ") {
