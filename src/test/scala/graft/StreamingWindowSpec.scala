@@ -108,6 +108,36 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate per key (T1, Spark 4 API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.RunningTotals
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[RunningTotals.Event]
+    val q = RunningTotals.totals(mem.toDS()).writeStream
+      .format("memory").queryName("tws_out").outputMode("update").start()
+    try {
+      mem.addData(RunningTotals.Event("s1", 100), RunningTotals.Event("s1", 50),
+        RunningTotals.Event("s2", 7))
+      q.processAllAvailable()
+      mem.addData(RunningTotals.Event("s1", 25)) // state survives batches
+      q.processAllAvailable()
+      val last = spark.table("tws_out").as[RunningTotals.Total].collect()
+        .groupBy(_.streamId).view.mapValues(_.maxBy(_.events)).toMap
+      last("s1") shouldBe RunningTotals.Total("s1", 3, 175)
+      last("s2") shouldBe RunningTotals.Total("s2", 1, 7)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session_window groups by activity gaps per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
