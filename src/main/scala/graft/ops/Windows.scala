@@ -107,6 +107,20 @@ object Windows {
       .orderBy($"bucket_us".asc_nulls_first, $"event_type".asc_nulls_first)
   }
 
+  /** T8 — sliding window aggregation: 1-hour windows every 15 min,
+    * so each event contributes to exactly 4 overlapping buckets.
+    * Spark's window() generates the 4 rows per event inside the
+    * project (no self-join); the shuffle is the window-start group
+    * key, 4× input rows — linear, scale-safe. */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select(unix_micros($"w.start").as("bucket_us"), $"n", $"sum_value")
+      .orderBy($"bucket_us".asc_nulls_first)
+  }
+
   /** F2 — date_trunc calendar bucketing (ISO datestr handling in the
     * reference, manager.py:296 / convert.sh:41). */
   def qDateTrunc(spark: SparkSession, dir: String): DataFrame = {
@@ -157,6 +171,7 @@ object Windows {
     "q_packet_timeline" -> (qPacketTimeline _),
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_date_trunc" -> (qDateTrunc _),
     "q_asof_join" -> (qAsofJoin _),
   )
@@ -219,6 +234,16 @@ object Windows {
         |FROM events
         |GROUP BY bucket_us, event_type
         |ORDER BY bucket_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (SELECT
+        |    epoch_us(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))) AS b_us,
+        |    value
+        |  FROM events),
+        |w AS (SELECT b_us - k * 900000000 AS bucket_us, value
+        |  FROM e, generate_series(0, 3) s(k))
+        |SELECT bucket_us, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY bucket_us
+        |ORDER BY bucket_us ASC NULLS FIRST""".stripMargin,
     "q_date_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
