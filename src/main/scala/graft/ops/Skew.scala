@@ -36,4 +36,22 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").as("s"))
   }
+
+  /** Salted equi join for a skewed FACT key against a dimension too
+    * big to broadcast but small enough to replicate `salts`×: the
+    * fact side gets a deterministic salt, the dim side is exploded
+    * across all salt values, and the join key becomes (key, salt) —
+    * one hot key's rows land on `salts` reducers instead of one.
+    * Equivalent to `fact.join(dim, key)` for any fanout. (AQE's
+    * skew-join split covers most cases at runtime; this is the
+    * explicit form for when a single key exceeds what one task can
+    * hold, or when AQE is off — e.g. inside streaming queries, where
+    * Spark disables it.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 spreadCol: String, salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltOf(col(spreadCol), salts))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -104,4 +104,18 @@ object SkewPropertySpec extends Properties("graft.skew") {
           math.abs(a._3 - b._3) <= math.abs(b._3) * 1e-9 + 1e-12
         }
     }
+
+  property("saltedJoin ≡ plain equi join under generated skew, any fanout") =
+    forAll(rowsGen, Gen.oneOf(1, 3, 16)) { (rows, salts) =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      val fact = rows.toDF("k", "v", "id")
+      val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "attr")
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select($"k", $"id", $"attr")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sorted
+      norm(Skew.saltedJoin(fact, dim, "k", "id", salts))
+        .sameElements(norm(fact.join(dim, Seq("k"))))
+    }
 }
