@@ -108,6 +108,40 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows only after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Timestamp, String)]
+    val clk = MemoryStream[(Timestamp, String)]
+    def tsd(min: Int): Timestamp = new Timestamp(86400000L + min * 60000L)
+    val joined = imp.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+      .join(
+        clk.toDF().toDF("clk_ts", "clk_ad").withWatermark("clk_ts", "10 minutes"),
+        expr("ad = clk_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 30 minutes"),
+        "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").start()
+    try {
+      imp.addData((tsd(0), "a"), (tsd(0), "b"))
+      clk.addData((tsd(10), "a"))
+      q.processAllAvailable()
+      // 'b' unmatched but NOT yet emitted: its join window is still open
+      val early = spark.table("ssloj_out")
+        .select($"ad", $"clk_ad").as[(String, Option[String])].collect()
+      early.map(_._1).toSet shouldBe Set("a")
+      // advance both watermarks far past b's window → null-padded emit
+      imp.addData((tsd(300), "z"))
+      clk.addData((tsd(300), "z"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val late = spark.table("ssloj_out")
+        .select($"ad", $"clk_ad").as[(String, Option[String])].collect()
+      late should contain(("b", None))
+      late.filter(_._1 == "a").map(_._2) shouldBe Array(Some("a"))
+    } finally q.stop()
+  }
+
   test("transformWithState running totals accumulate per key (T1, Spark 4 API)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
