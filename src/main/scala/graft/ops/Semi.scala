@@ -137,6 +137,25 @@ object Semi {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** Unpivot (melt) — the inverse reshape: lineitem's four per-line
+    * amounts become (metric, val) rows via Spark's native unpivot.
+    * Pure narrow projection (4 output rows per input inside the
+    * operator, no shuffle, no UDF) — linear at any scale. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" <= 1000) // bounded output for the oracle dump
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first,
+        $"metric".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_json_path" -> (qJsonPath _),
     "q_json_array_explode" -> (qJsonArrayExplode _),
@@ -147,6 +166,7 @@ object Semi {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +240,20 @@ object Semi {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        |  metric ASC NULLS FIRST""".stripMargin,
   )
 }
