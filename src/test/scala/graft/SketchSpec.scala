@@ -32,6 +32,33 @@ class SketchSpec extends SparkSuite with Matchers {
     math.abs(approx - exact) should be <= spread * 0.02
   }
 
+  test("count-min sketch over-estimates but never under-estimates a hot key") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val cms = ev.stat.countMinSketch($"event_type", eps = 0.001, confidence = 0.99, seed = 7)
+    val exact = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      est should be >= c // CMS guarantee: never undercounts
+      est should be <= c + (0.001 * n).toLong // and within eps*n over
+    }
+  }
+
+  test("bloom filter has no false negatives on the keys it saw") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val bf = orders.stat.bloomFilter($"o_custkey", expectedNumItems = 2000, fpp = 0.01)
+    val present = orders.select($"o_custkey").distinct()
+      .as[Long].collect()
+    present.foreach(k => bf.mightContain(k) shouldBe true)
+    // and the fpp bound holds loosely on keys that were never inserted
+    val absent = (1000000L to 1002000L).filterNot(present.toSet)
+    val fp = absent.count(bf.mightContain)
+    fp.toDouble / absent.size should be <= 0.05
+  }
+
   test("per-key UDF parameterization via broadcast map (X2, manager.py:331-336)") {
     import spark.implicits._
     // streamlink_args: per-stream extra argv consulted inside the UDF

@@ -73,6 +73,33 @@ class SourcesSpec extends SparkSuite with Matchers {
     fromGz.find(_._1 == "m3").get._4 shouldBe 2
   }
 
+  test("PERMISSIVE JSON ingest quarantines corrupt lines instead of failing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Files.write(Paths.get(dir, "feed.json"),
+      ("""{"id": 1, "v": "ok"}""" + "\n" +
+        """{"id": 2, "v": """ + "\n" + // truncated mid-record
+        """not json at all""" + "\n" +
+        """{"id": 4, "v": "also ok"}""").getBytes("UTF-8"))
+    // cache: Spark refuses corrupt-column-only queries on raw files
+    val df = spark.read
+      .schema("id BIGINT, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    val good = df.filter($"_corrupt_record".isNull)
+      .select($"id", $"v").as[(Long, String)].collect().sortBy(_._1)
+    good shouldBe Array((1L, "ok"), (4L, "also ok"))
+    // the quarantine keeps the raw line for replay/debugging
+    df.filter($"_corrupt_record".isNotNull).count() shouldBe 2
+    // FAILFAST is the strict contract: same input must throw
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id BIGINT, v STRING")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+  }
+
   test("date-partitioned events prune to one partition on a date-bounded scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_prune").toString
