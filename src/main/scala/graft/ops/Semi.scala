@@ -124,6 +124,40 @@ object Semi {
         $"g_type".asc_nulls_first)
   }
 
+  /** A6 — explicit GROUPING SETS (the primitive rollup/cube expand
+    * to), via the SQL surface: chosen subtotal combinations only,
+    * still one shuffle. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (SQL surface): customers whose order
+    * count beats 1.5× their market segment's average. Catalyst
+    * decorrelates the subquery into an aggregate + equi join — no
+    * per-row re-execution, scale-safe. Integer counts keep the
+    * average bit-identical across engines. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    spark.sql(
+      """WITH cnt AS (
+        |  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n
+        |  FROM sq_customer JOIN sq_orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_mktsegment)
+        |SELECT c_custkey, n FROM cnt c
+        |WHERE n > 1.5 * (SELECT avg(n) FROM cnt c2
+        |                 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Pivot — events.event_type fanned out to per-type count columns
     * (explicit value list so the plan is static: no extra collect
     * pass to discover values, which matters at 100 TB). */
@@ -167,6 +201,8 @@ object Semi {
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,5 +291,22 @@ object Semi {
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
         |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
         |  metric ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST""".stripMargin,
+    "q_scalar_subquery" ->
+      """WITH cnt AS (
+        |  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_mktsegment)
+        |SELECT c_custkey, n FROM cnt c
+        |WHERE n > 1.5 * (SELECT avg(n) FROM cnt c2
+        |                 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
   )
 }
