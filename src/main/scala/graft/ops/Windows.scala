@@ -60,6 +60,20 @@ object Windows {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** W4 — time-RANGE frame: events in the trailing hour per user
+    * (RANGE, not ROWS: the frame is bounded by the µs ORDER BY value,
+    * so ties and irregular spacing are handled by time, not row
+    * position). count() keeps it integer-exact on both engines. */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600000000L, 0L) // trailing 1 h in µs
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"event_id", count(lit(1)).over(w).as("n_last_hour"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
   /** W2 — packet-timeline reconstruction (convert.sh:60-65: recover
     * wallclock for any moment, robust to gaps): lag + gap detection
     * on the event stream. Gaps are exact µs-long arithmetic. */
@@ -168,6 +182,7 @@ object Windows {
     "q_row_number" -> (qRowNumber _),
     "q_rank" -> (qRank _),
     "q_rolling_sum" -> (qRollingSum _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_packet_timeline" -> (qPacketTimeline _),
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
@@ -194,6 +209,13 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "q_rolling_sum" ->
       """SELECT event_id,
         |  round(sum(value) OVER (PARTITION BY user_id
