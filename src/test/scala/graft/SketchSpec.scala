@@ -32,6 +32,27 @@ class SketchSpec extends SparkSuite with Matchers {
     math.abs(approx - exact) should be <= spread * 0.02
   }
 
+  test("stratified sampleBy hits per-stratum fractions and is seed-deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 1.0)
+    val s1 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    val s2 = docs.stat.sampleBy("lang", fractions, seed = 42L)
+    // same seed + same input layout → identical sample (replayable mix)
+    s1.select($"doc_id").as[Long].collect().sorted shouldBe
+      s2.select($"doc_id").as[Long].collect().sorted
+    val total = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val got = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // Bernoulli sampling: observed rate within a loose band per stratum
+    fractions.foreach { case (lang, f) =>
+      val n = total.getOrElse(lang, 0L)
+      if (n > 20)
+        got.getOrElse(lang, 0L).toDouble / n shouldBe f +- 0.25
+    }
+    // languages not in the fraction map are dropped entirely
+    got.keySet.diff(fractions.keySet) shouldBe empty
+  }
+
   test("count-min sketch over-estimates but never under-estimates a hot key") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
