@@ -194,6 +194,20 @@ class OpsSpec extends SparkSuite with Matchers {
     banded shouldBe brute // pigeonhole: 4 nibble bands cover distance 3
   }
 
+  test("hot scalar pipelines run inside WholeStageCodegen") {
+    // regex/hash projection paths must stay codegen'd — if a refactor
+    // introduces an interpreted expression the spans vanish. (NOT
+    // asserted for q_quality_score: its higher-order array lambdas
+    // are interpreted by design — SURVEY §4.2 — which is why the hot
+    // per-row math path got the codegen'd graft_dot expression.)
+    // AQE only materializes codegen stages in the FINAL plan (execute
+    // first), where toString renders them as the "*(n)" star prefix.
+    for (q <- Seq(Text.qTokenCount(spark, sf), Text.qFingerprint(spark, sf))) {
+      q.collect()
+      planOf(q) should include("*(1)")
+    }
+  }
+
   test("minhash band collisions imply identical 4-hash signatures") {
     import spark.implicits._
     val sig = Text.qMinhashSig(spark, sf)
