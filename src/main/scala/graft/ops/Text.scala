@@ -66,6 +66,34 @@ object Text {
       .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
   }
 
+  /** [EXT] PII scrub — email / URL / long-digit-run redaction before
+    * a corpus ships to training. Pure regexp_replace projections
+    * (codegen'd, zero shuffle besides the oracle sort); the patterns
+    * avoid Java-only constructs (no backrefs/lookaround) so DuckDB's
+    * RE2 computes the identical result. */
+  /** The scrub expression itself, applicable to any string column
+    * (the driver corpus happens to be PII-free, so PiiScrubSpec
+    * proves the redaction on crafted inputs). */
+  private[graft] def piiScrub(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9][0-9 ()+.-]{6,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        url, "<URL>"),
+      digits, "<NUM>")
+  }
+
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scrubbed = piiScrub($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", scrubbed.as("clean"),
+        ($"text" =!= scrubbed).cast("int").as("was_redacted"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** [EXT] language-ID: stopword-lexicon voting — tokens joined to a
     * broadcast (word → lang) lexicon, argmax hits per doc with a
     * deterministic (hits DESC, lang ASC) tie-break; docs with no
@@ -377,6 +405,7 @@ object Text {
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
+    "q_pii_scrub" -> (qPiiScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,5 +620,18 @@ object Text {
         |FROM cand
         |WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUM>', 'g') AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean,
+        |  CAST(text <> clean AS INT) AS was_redacted
+        |FROM s
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -60,6 +60,21 @@ object Windows {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** W5 — generic top-k per group: row_number over a
+    * (key-partitioned) window then rank ≤ k. One shuffle on the group
+    * key; ties broken by the unique order key so the cut is
+    * deterministic on any engine. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .orderBy($"o_orderpriority".asc_nulls_first, $"rk".asc_nulls_first)
+  }
+
   /** W4 — time-RANGE frame: events in the trailing hour per user
     * (RANGE, not ROWS: the frame is bounded by the µs ORDER BY value,
     * so ties and irregular spacing are handled by time, not row
@@ -183,6 +198,7 @@ object Windows {
     "q_rank" -> (qRank _),
     "q_rolling_sum" -> (qRollingSum _),
     "q_range_frame" -> (qRangeFrame _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q_packet_timeline" -> (qPacketTimeline _),
     "q_sessionize" -> (qSessionize _),
     "q_tumbling_window" -> (qTumblingWindow _),
@@ -209,6 +225,14 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "q_range_frame" ->
       """SELECT event_id,
         |  count(*) OVER (PARTITION BY user_id

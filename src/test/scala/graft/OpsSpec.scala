@@ -194,6 +194,22 @@ class OpsSpec extends SparkSuite with Matchers {
     banded shouldBe brute // pigeonhole: 4 nibble bands cover distance 3
   }
 
+  test("pii scrub redacts emails, urls and digit runs, leaves prose alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "docs: https://example.com/a?b=c#frag end",
+      "call +1 (555) 123-4567 now",
+      "nothing sensitive here at all").toDF("text")
+    val out = rows.select(Text.piiScrub(col("text")).as("clean"))
+      .as[String].collect()
+    out(0) shouldBe "contact me at <EMAIL> today"
+    out(1) shouldBe "docs: <URL> end"
+    out(2) shouldBe "call +<NUM> now"
+    out(3) shouldBe "nothing sensitive here at all"
+  }
+
   test("hot scalar pipelines run inside WholeStageCodegen") {
     // regex/hash projection paths must stay codegen'd — if a refactor
     // introduces an interpreted expression the spans vanish. (NOT
