@@ -85,6 +85,28 @@ object Text {
       digits, "<NUM>")
   }
 
+  /** [EXT] sentence segmentation — regex split on terminal
+    * punctuation, posexplode keeps the in-document position. Empty
+    * fragments filtered on BOTH engines: Java's split drops trailing
+    * empties where RE2's keeps them, so the filter is the parity
+    * contract, not cosmetics. */
+  /** Core segmentation over any (doc_id, text) frame (the driver
+    * corpus is single-sentence, so OpsSpec proves multi-sentence
+    * splitting on crafted inputs). */
+  private[graft] def sentences(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        posexplode(split($"text", "[.!?]+ +")).as(Seq("idx", "sent")))
+      .filter(trim($"sent") =!= "")
+      .select($"doc_id", $"idx", trim($"sent").as("sent"),
+        length(trim($"sent")).as("n_chars"))
+      .orderBy($"doc_id".asc_nulls_first, $"idx".asc_nulls_first)
+  }
+
+  def qSentences(spark: SparkSession, dir: String): DataFrame =
+    sentences(Tables.documents(spark, dir))
+
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scrubbed = piiScrub($"text")
@@ -406,6 +428,7 @@ object Text {
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_sentences" -> (qSentences _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +656,18 @@ object Text {
         |  CAST(text <> clean AS INT) AS was_redacted
         |FROM s
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_sentences" ->
+      """WITH a AS (SELECT doc_id,
+        |    string_split_regex(text, '[.!?]+ +') AS arr
+        |  FROM documents),
+        |e AS (SELECT doc_id, generate_subscripts(arr, 1) AS i,
+        |    unnest(arr) AS sent
+        |  FROM a)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+        |  trim(sent) AS sent,
+        |  CAST(length(trim(sent)) AS INT) AS n_chars
+        |FROM e
+        |WHERE trim(sent) <> ''
+        |ORDER BY doc_id ASC NULLS FIRST, idx ASC NULLS FIRST""".stripMargin,
   )
 }

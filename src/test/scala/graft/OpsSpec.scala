@@ -194,6 +194,24 @@ class OpsSpec extends SparkSuite with Matchers {
     banded shouldBe brute // pigeonhole: 4 nibble bands cover distance 3
   }
 
+  test("sentence segmentation keeps order and drops empty fragments") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "First one. Second!  Third? trailing"),
+      (2L, "No breaks here"),
+      (3L, "Double.. . spaced. tail.")).toDF("doc_id", "text")
+    val out = Text.sentences(docs)
+      .select($"doc_id", $"idx", $"sent").as[(Long, Int, String)].collect()
+    out.filter(_._1 == 1L).map(_._3) shouldBe
+      Array("First one", "Second", "Third", "trailing")
+    out.filter(_._1 == 2L).map(_._3) shouldBe Array("No breaks here")
+    // ".. . " collapses; the empty middle fragment is dropped but
+    // later positions keep their original indices
+    val d3 = out.filter(_._1 == 3L)
+    d3.map(_._3) shouldBe Array("Double", "spaced", "tail.")
+    d3.map(_._2) shouldBe d3.map(_._2).sorted
+  }
+
   test("pii scrub redacts emails, urls and digit runs, leaves prose alone") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
