@@ -25,6 +25,18 @@ class OpsSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("no query in the registry plans a CartesianProduct; cosine is the only BNLJ") {
+    // engine-wide 100 TB guard: a refactor that degrades any equi or
+    // banded join to an all-pairs product must fail here, not on the
+    // cluster
+    val bnlj = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      withClue(name)(plan should not include "CartesianProduct")
+      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    bnlj shouldBe Seq("q_cosine_topk") // broadcast query set × corpus, by design
+  }
+
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
     import spark.implicits._
     graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
