@@ -31,21 +31,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn); val b = timeOnce(fn)
-      var best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      // This host stalls for multi-second stretches under neighbor
-      // load (same query 0.4 s vs 30 s run-to-run). If both runs look
-      // stalled, retry up to twice more so the report reflects the
-      // query, not the stall.
-      var extra = 0
-      while (best > 3.0 && extra < 2) { // only suspiciously slow queries
-        val c = timeOnce(fn)
-        if (c >= 0) best = math.min(best, c)
-        extra += 1
-      }
-      name -> best
+    // This host stalls for multi-second (sometimes multi-MINUTE)
+    // stretches under neighbor load: BENCH_r04 reported 53 s for a
+    // query that runs in 0.8 s on a quiet box, because both of its
+    // timed runs fell inside one stall window. Decorrelate stalls from
+    // queries by timing in full PASSES over the whole suite (min
+    // across passes): a stall window then inflates different queries
+    // in different passes and min() recovers the true cost. Stragglers
+    // (best > 3 s after the interleaved passes) get up to two more
+    // round-robin passes.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    def runPass(subset: Seq[String]): Unit = subset.foreach { name =>
+      val t = timeOnce(SparkEntry.queries(name))
+      val cur = best.getOrElse(name, Double.MaxValue)
+      best(name) = if (t < 0) (if (cur == Double.MaxValue) -1.0 else cur)
+        else if (cur < 0 || cur == Double.MaxValue) t else math.min(cur, t)
     }
+    runPass(names.map(_._1))
+    runPass(names.map(_._1))
+    (1 to 2).foreach { _ =>
+      val stragglers = names.map(_._1).filter(n => best(n) > 3.0)
+      if (stragglers.nonEmpty) runPass(stragglers)
+    }
+    val results = names.map { case (n, _) => n -> best(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -131,12 +131,14 @@ object Semi {
     Tables.orders(spark, dir).createOrReplaceTempView("gs_orders")
     spark.sql(
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status
         |FROM gs_orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |  (o_orderstatus), ())
         |ORDER BY o_orderpriority ASC NULLS FIRST,
-        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST""".stripMargin)
+        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST,
+        |  g_status ASC NULLS FIRST""".stripMargin)
   }
 
   /** Correlated scalar subquery (SQL surface): customers whose order
@@ -293,12 +295,14 @@ object Semi {
         |  metric ASC NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |  (o_orderstatus), ())
         |ORDER BY o_orderpriority ASC NULLS FIRST,
-        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST""".stripMargin,
+        |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST,
+        |  g_status ASC NULLS FIRST""".stripMargin,
     "q_scalar_subquery" ->
       """WITH cnt AS (
         |  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n

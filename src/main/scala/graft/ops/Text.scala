@@ -109,10 +109,14 @@ object Text {
 
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scrubbed = piiScrub($"text")
+    // Project the scrubbed column ONCE, then derive was_redacted from
+    // it: whole-stage codegen does not reliably CSE regexp_replace
+    // chains, so inlining `scrubbed` twice runs the 3-regex chain — the
+    // hottest expression in the query — 2x per row (ADVICE r4).
     Tables.documents(spark, dir)
-      .select($"doc_id", scrubbed.as("clean"),
-        ($"text" =!= scrubbed).cast("int").as("was_redacted"))
+      .select($"doc_id", $"text", piiScrub($"text").as("clean"))
+      .select($"doc_id", $"clean",
+        ($"text" =!= $"clean").cast("int").as("was_redacted"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 

@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   * 100 TB, drop `content` from the projection and the scan is
   * metadata-only — no payload is read until the probe stage asks.
   *
-  * S4 — packet dumps are gzip-compressed JSON sidecars
-  * (`*_packets.json.gz`, convert.sh:63-65). `spark.read.json`
-  * decompresses by file extension automatically; ffprobe emits every
+  * S4 — packet dumps are gzip-compressed ffprobe `-of json` sidecars
+  * (`*_packets.json.gz`, convert.sh:63-65): each file is ONE
+  * pretty-printed JSON document with a top-level "packets" array —
+  * not NDJSON. `multiLine=true` makes the file the record unit (the
+  * only correct mode for document JSON; line-mode PERMISSIVE parsing
+  * would silently yield all-null packet fields). `spark.read.json`
+  * decompresses by extension automatically; ffprobe emits every
   * numeric field as a JSON string ("pts_time": "0.023220"), so the
-  * schema reads strings and casts — quoted and bare numbers both
-  * parse. One gzip member is a single-task read (gzip is not
+  * schema reads strings and casts. A `_corrupt_record` column
+  * quarantines unparsable sidecars instead of dropping them
+  * silently. One gzip member is a single-task read (gzip is not
   * splittable); at scale the parallelism unit is the FILE, and a
-  * directory of per-media dumps fans out naturally.
+  * directory of per-media dumps fans out naturally — exactly the
+  * multiLine read's unit too.
   */
 object MediaInventory {
 
@@ -38,22 +44,49 @@ object MediaInventory {
         col("length"))
       .orderBy(col("length").asc, col("name").asc)
 
-  /** S4: gzipped-NDJSON packet dump(s) → typed packet rows tagged with
-    * the owning media id (derived from the sidecar filename,
+  /** S4 raw layer: one row per sidecar FILE — (mediaId, packets,
+    * _corrupt_record). Good files carry the parsed packets array;
+    * unparsable ones carry the raw text in `_corrupt_record` for
+    * quarantine/replay (mediaId still derived from the filename,
     * `<mediaId>_packets.json.gz`). */
-  def readPacketDump(spark: SparkSession, path: String): DataFrame =
+  def parsePacketDump(spark: SparkSession, path: String): DataFrame =
     spark.read
-      .schema("pts_time STRING, dts_time STRING, size STRING, " +
-        "pos STRING, duration_time STRING")
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema("packets ARRAY<STRUCT<pts_time: STRING, dts_time: STRING, " +
+        "size: STRING, pos: STRING, duration_time: STRING>>, " +
+        "_corrupt_record STRING")
       .json(path)
       .select(
         regexp_replace(element_at(split(input_file_name(), "/"), -1),
           "_packets\\.json\\.gz$", "").as("mediaId"),
-        col("pts_time").cast("double").as("ptsTime"),
-        col("dts_time").cast("double").as("dtsTime"),
-        col("size").cast("long").as("size"),
-        col("pos").cast("long").as("pos"),
-        col("duration_time").cast("double").as("durationTime"))
+        col("packets"), col("_corrupt_record"))
+
+  /** S4: ffprobe-JSON packet dump(s) → typed packet rows tagged with
+    * the owning media id. Parsed files only — corrupt sidecars are
+    * visible via [[corruptPacketDumps]], never silently nulled. */
+  def readPacketDump(spark: SparkSession, path: String): DataFrame =
+    parsePacketDump(spark, path)
+      .filter(col("_corrupt_record").isNull && col("packets").isNotNull)
+      .select(col("mediaId"), explode(col("packets")).as("p"))
+      .select(
+        col("mediaId"),
+        col("p.pts_time").cast("double").as("ptsTime"),
+        col("p.dts_time").cast("double").as("dtsTime"),
+        col("p.size").cast("long").as("size"),
+        col("p.pos").cast("long").as("pos"),
+        col("p.duration_time").cast("double").as("durationTime"))
+
+  /** S4 quarantine: sidecars that failed to parse, with the raw text
+    * kept for replay/debugging. The filter also references `packets`
+    * (always null on corrupt rows) so the pruned scan schema is not
+    * corrupt-column-only — Spark refuses such scans on raw JSON
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
+  def corruptPacketDumps(spark: SparkSession, path: String): DataFrame =
+    parsePacketDump(spark, path)
+      .filter(col("_corrupt_record").isNotNull && col("packets").isNull)
+      .select(col("mediaId"), col("_corrupt_record").as("raw"))
 
   /** Packet rows → one (mediaId, packets) row per media, packets in
     * pts order — the nested shape Multimodal.packetGaps consumes.

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
 /** Real file sources, end-to-end: the binaryFile directory scan (S1,
-  * convert.sh:30), gzipped-NDJSON packet ingest (S4, convert.sh:63-65),
+  * convert.sh:30), gzipped ffprobe-JSON packet ingest (S4, convert.sh:63-65),
   * and the date-partitioned layout's pruning contract (§4.3) — the
   * pieces the parquet analogs q_scan_order / q_packet_timeline stand
   * in for at oracle time.
@@ -43,21 +43,34 @@ class SourcesSpec extends SparkSuite with Matchers {
       .select($"pct_reduction").as[Double].collect().foreach(_ shouldBe 75.0)
   }
 
-  test("S4: gzipped NDJSON packet dump matches the in-memory packet analytics") {
+  test("S4: gzipped ffprobe-JSON packet dump matches the in-memory packet analytics") {
     import spark.implicits._
     val media = Seq(
       ("m1", "0123456789abcdef0123456789abcdef".getBytes("UTF-8")),
       ("m3", ("x" * 96).getBytes("UTF-8")))
     val dir = Files.createTempDirectory("graft_pkt").toString
-    // ffprobe-style sidecars: every value a JSON string, gzip -c9
-    media.foreach { case (id, bytes) =>
-      val lines = Multimodal.packetsStub(bytes).map(p =>
-        s"""{"pts_time":"${p.ptsTime}","dts_time":"${p.dtsTime}",""" +
-          s""""size":"${p.size}","pos":"${p.pos}","duration_time":"${p.durationTime}"}""")
-      val gz = new GZIPOutputStream(
-        Files.newOutputStream(Paths.get(dir, s"${id}_packets.json.gz")))
-      gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+    def gzWrite(name: String, text: String): Unit = {
+      val gz = new GZIPOutputStream(Files.newOutputStream(Paths.get(dir, name)))
+      gz.write(text.getBytes("UTF-8")); gz.close()
     }
+    // Real ffprobe `-of json` shape (convert.sh:63-65): ONE
+    // pretty-printed document per sidecar with a top-level "packets"
+    // array, every numeric a JSON string, gzip -c9. NOT NDJSON.
+    media.foreach { case (id, bytes) =>
+      val objs = Multimodal.packetsStub(bytes).map(p =>
+        s"""        {
+           |            "pts_time": "${p.ptsTime}",
+           |            "dts_time": "${p.dtsTime}",
+           |            "size": "${p.size}",
+           |            "pos": "${p.pos}",
+           |            "duration_time": "${p.durationTime}"
+           |        }""".stripMargin)
+      gzWrite(s"${id}_packets.json.gz",
+        "{\n    \"packets\": [\n" + objs.mkString(",\n") + "\n    ]\n}\n")
+    }
+    // a truncated sidecar (ffprobe killed mid-dump) must quarantine,
+    // not silently contribute zero packets
+    gzWrite("m9_packets.json.gz", "{\n    \"packets\": [\n        {\"pts_time\": ")
 
     val fromGz = Multimodal.packetGapsOf(MediaInventory.packetsNested(
       MediaInventory.readPacketDump(spark, s"$dir/*.json.gz")))
@@ -71,6 +84,11 @@ class SourcesSpec extends SparkSuite with Matchers {
     fromGz shouldBe direct
     // and the injected ad gaps actually survive the round trip
     fromGz.find(_._1 == "m3").get._4 shouldBe 2
+    // the corrupt sidecar is visible in quarantine with its raw text
+    val bad = MediaInventory.corruptPacketDumps(spark, s"$dir/*.json.gz")
+      .as[(String, String)].collect()
+    bad.map(_._1).toSeq shouldBe Seq("m9")
+    bad.head._2 should include("packets")
   }
 
   test("PERMISSIVE JSON ingest quarantines corrupt lines instead of failing") {
