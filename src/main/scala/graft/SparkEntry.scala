@@ -11,11 +11,13 @@ object SparkEntry {
     * Each ops module owns its queries + oracle SQL; this aggregates. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Windows.queries ++
-      Semi.queries ++ Text.queries ++ Similarity.queries
+      Semi.queries ++ Text.queries ++ Similarity.queries ++
+      Analytics.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Joins.oracles ++ Windows.oracles ++
-      Semi.oracles ++ Text.oracles ++ Similarity.oracles
+      Semi.oracles ++ Text.oracles ++ Similarity.oracles ++
+      Analytics.oracles ++ Corpus.oracles
 }

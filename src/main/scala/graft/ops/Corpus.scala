@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for the LLM-data pipeline (SURVEY.md
+  * §2.11 L4 extensions): TF-IDF term weighting, exact heavy hitters,
+  * bigram frequency, and edit-distance near-dup — all on the driver's
+  * `documents` table, sharing q_token_freq's tokenizer so every
+  * oracle uses the same split contract.
+  *
+  * Scale doctrine (100 TB of documents):
+  *  - TF-IDF is two hash-aggs (doc-term, then term) plus ONE broadcast
+  *    of a single-row corpus count — the df table shuffles on term,
+  *    never the document bodies;
+  *  - heavy hitters compares integer counts (cnt*1000 > total) against
+  *    a broadcast 1-row total — no floats, no collect;
+  *  - bigrams are built positionally inside the projection (explode of
+  *    a transform over the token array) — rows multiply in-stage, the
+  *    only shuffle is the count;
+  *  - edit-distance pairs are BLOCKED by (source, lang) like
+  *    q_near_dup, and the O(|s|·|t|) levenshtein runs on fixed 40-char
+  *    prefixes so per-pair cost is bounded regardless of document
+  *    length.
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Same tokenizer as Text.toks — the oracle parity contract. */
+  private def toks(c: Column): Column = split(trim(lower(c)), " +")
+
+  /** L4+ — TF-IDF: tf(doc, term) × ln(N / df(term)), terms with
+    * tf ≥ 2. ln of the same double ratio on both engines, rounded at
+    * 6; ORDER BY is (doc_id, term) — never the float score — so a
+    * last-ulp ln difference cannot reorder rows. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // Single-row corpus count attached via broadcast cross join — the
+    // scalar-broadcast pattern. Plans a BroadcastNestedLoopJoin whose
+    // build side is a groupless aggregate (≤1 row by construction);
+    // OpsSpec's plan sweep admits exactly that shape.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.filter($"tf" >= 2)
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term", $"tf",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+      .orderBy($"doc_id".asc_nulls_first, $"term".asc_nulls_first)
+  }
+
+  /** L4+ — exact heavy hitters: tokens above 0.1% of all tokens.
+    * Pure integer comparison (cnt * 1000 > total) against a broadcast
+    * single-row total — deterministic at any scale; the approximate
+    * companion (count-min sketch, same threshold semantics) is
+    * SketchSpec's CMS test. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("token"))
+    // scalar-broadcast pattern (1-row aggregate build side); see qTfidf
+    val total = tokens.agg(count(lit(1)).as("total"))
+    tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" * 1000 > $"total")
+      .select($"token", $"cnt")
+      .orderBy($"cnt".desc_nulls_last, $"token".asc_nulls_first)
+  }
+
+  /** L4+ — bigram frequency: adjacent token pairs built positionally
+    * (1-based element_at == DuckDB list indexing), top-40 by count.
+    * The size≥2 guard is the parity contract: Spark's sequence(1,0)
+    * would emit a DESCENDING [1,0] while DuckDB's generate_series
+    * yields empty. */
+  def qBigramFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size($"t") - 1),
+        i => concat(element_at($"t", i), lit(" "), element_at($"t", i + 1))
+      )).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc_nulls_last, $"bigram".asc_nulls_first)
+      .limit(40)
+  }
+
+  /** L2+ — edit-distance near-dup: (source, lang)-blocked pair join,
+    * levenshtein on fixed 40-char prefixes, distance ≤ 10. Integer
+    * distance → exact parity; da < db halves the pair space and pins
+    * pair identity. */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", substring($"text", 1, 40).as("pfx"))
+    val a = d.select($"doc_id".as("da"), $"lang".as("la"),
+      $"source".as("sa"), $"pfx".as("pa"))
+    val b = d.select($"doc_id".as("db"), $"lang".as("lb"),
+      $"source".as("sb"), $"pfx".as("pb"))
+    a.join(b, $"sa" === $"sb" && $"la" === $"lb" && $"da" < $"db")
+      .withColumn("dist", levenshtein($"pa", $"pb"))
+      .filter($"dist" <= 10)
+      .select($"da", $"db", $"dist")
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_bigram_freq" -> (qBigramFreq _),
+    "q_edit_distance" -> (qEditDistance _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf.term, tf,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |WHERE tf >= 2
+        |ORDER BY doc_id ASC NULLS FIRST, tf.term ASC NULLS FIRST""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT token, count(*) AS cnt
+        |FROM t CROSS JOIN tot
+        |GROUP BY token, total
+        |HAVING count(*) * 1000 > total
+        |ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST""".stripMargin,
+    "q_bigram_freq" ->
+      """WITH l AS (SELECT string_split_regex(trim(lower(text)), ' +') AS t
+        |  FROM documents),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM l WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS cnt
+        |FROM b
+        |GROUP BY bigram
+        |ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS FIRST
+        |LIMIT 40""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS da, b.doc_id AS db,
+        |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+  )
+}

@@ -28,11 +28,34 @@ class OpsSpec extends SparkSuite with Matchers {
   test("no query in the registry plans a CartesianProduct; cosine is the only BNLJ") {
     // engine-wide 100 TB guard: a refactor that degrades any equi or
     // banded join to an all-pairs product must fail here, not on the
-    // cluster
+    // cluster. Exception shape: a BNLJ whose build side is a groupless
+    // aggregate is the scalar-broadcast pattern (≤1 row by
+    // construction — attaching a corpus total to every row) and is
+    // scale-safe; anything else must be q_cosine_topk.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE wraps the physical plan in a leaf AdaptiveSparkPlanExec;
+    // collect() needs the inner plan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    def scalarBuildSide(j: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      build.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    }
     val bnlj = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = planOf(SparkEntry.queries(name)(spark, sf))
-      withClue(name)(plan should not include "CartesianProduct")
-      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      val exec = unwrap(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      withClue(name)(exec.toString should not include "CartesianProduct")
+      val loops = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+      if (loops.exists(j => !scalarBuildSide(j))) Some(name) else None
     }
     bnlj shouldBe Seq("q_cosine_topk") // broadcast query set × corpus, by design
   }
