@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * row generator.
   *
   * Scale doctrine: every window is key-partitioned (one shuffle, sort
-  * within partition); both TPC-H shapes are equi-joins that AQE can
-  * re-plan (the orders side of Q13 shuffles on o_custkey, never
-  * broadcast — it's a fact table); the generator is a narrow explode
-  * (rows multiply inside the stage, no shuffle).
+  * within partition); both TPC-H shapes are UNHINTED equi-joins —
+  * Catalyst broadcasts the orders side at toy SF and falls back to a
+  * shuffle join on o_custkey once stats exceed the broadcast
+  * threshold (hinting broadcast on a fact table would be the 100 TB
+  * bug); the generator is a narrow explode (rows multiply inside the
+  * stage, no shuffle).
   */
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
