@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // bounded edit-distance comparisons → banded thresholded DP
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
   }
 }
