@@ -89,10 +89,28 @@ object Similarity {
       .orderBy($"va".asc_nulls_first, $"vb".asc_nulls_first)
   }
 
+  /** L12's index-BUILD step — per-cell centroids: element-wise mean
+    * of every cell's vectors, one (label, pos, mean) row per
+    * dimension. posexplode(64-dim) then hash-agg on (label, pos):
+    * map-side combine makes the shuffle carry ≤ cells×dims partials
+    * per mapper, never the vectors — the single k-means Lloyd
+    * iteration a 100 TB IVF build repeats to convergence. 1-based pos
+    * matches DuckDB's generate_subscripts. */
+  def qCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos0", "x")))
+      .groupBy($"label", ($"pos0" + 1).as("pos"))
+      .agg(round(avg($"x".cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy($"label".asc_nulls_first, $"pos".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_centroids" -> (qCentroids _),
   )
 
   /** Oracle formulation: per-element lateral expansion
@@ -137,5 +155,14 @@ object Similarity {
         |  FROM d JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id)
         |SELECT va, vb, sim FROM s WHERE sim >= 0.35
         |ORDER BY va ASC NULLS FIRST, vb ASC NULLS FIRST""".stripMargin,
+    "q_centroids" ->
+      """WITH pe AS (SELECT label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT label, pos, round(avg(x), 4) AS centroid, count(*) AS n_vecs
+        |FROM pe
+        |GROUP BY label, pos
+        |ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
   )
 }
