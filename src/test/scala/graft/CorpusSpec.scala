@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{Analytics, Corpus}
+import java.nio.file.Files
+import org.scalatest.matchers.should.Matchers
+
+/** Crafted-input semantics for the round-5 corpus/analytics operators —
+  * the edges the synthetic driver corpus never hits: the bigram
+  * size≥2 guard, the heavy-hitter STRICT threshold, median
+  * interpolation + mode tie-break, and the generator's per-row fanout.
+  * Each test writes a minimal table into a temp dir shaped like the
+  * driver testdata (Tables reads `$dir/<name>.parquet`). */
+class CorpusSpec extends SparkSuite with Matchers {
+
+  private def tmpTables(name: String)(write: String => Unit): String = {
+    val dir = Files.createTempDirectory(s"graft_$name").toString
+    write(dir); dir
+  }
+
+  test("bigrams: single-token docs contribute nothing (sequence(1,0) guard)") {
+    import spark.implicits._
+    val dir = tmpTables("bigram") { d =>
+      Seq((1L, "a b c"), (2L, "single"), (3L, "x x x x"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qBigramFreq(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    // "single" must produce no bigram; Spark's sequence(1, 0) would
+    // have emitted a DESCENDING [1,0] and crashed element_at(t, 0)
+    rows shouldBe Seq(("x x", 3L), ("a b", 1L), ("b c", 1L))
+  }
+
+  test("heavy hitters: the threshold is strictly above 0.1%") {
+    import spark.implicits._
+    // exactly 1000 tokens: "hot" twice (0.2% — in), "edge" once
+    // (cnt*1000 == total — OUT: the comparison is strict)
+    val fillers = (1 to 997).map(i => s"t$i")
+    val text = (fillers ++ Seq("hot", "hot", "edge")).mkString(" ")
+    val dir = tmpTables("hh") { d =>
+      Seq((1L, text)).toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    Corpus.qHeavyHitters(spark, dir)
+      .as[(String, Long)].collect().toSeq shouldBe Seq(("hot", 2L))
+  }
+
+  test("median interpolates the middle pair; mode ties break to the smaller value") {
+    import spark.implicits._
+    val dir = tmpTables("medmode") { d =>
+      Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 9.0),
+        ("B", 1.0), ("B", 1.0), ("B", 2.0), ("B", 2.0))
+        .toDF("l_returnflag", "l_quantity")
+        .write.parquet(s"$d/lineitem.parquet")
+    }
+    val rows = Analytics.qMedianMode(spark, dir)
+      .as[(String, Double, Double, Long)].collect().toSeq
+    rows shouldBe Seq(
+      ("A", 2.0, 2.0, 2L),  // median of {1,2,2,9} = 2; mode 2 (count 2)
+      ("B", 1.5, 1.0, 2L))  // even-count interpolation; 1 and 2 tie → 1
+  }
+
+  test("tf-idf: corpus-wide terms weigh zero, rare terms ln(N/df)") {
+    import spark.implicits._
+    val dir = tmpTables("tfidf") { d =>
+      Seq((1L, "common common rare rare"),
+        (2L, "common common"), (3L, "common common"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qTfidf(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (id, t, tf, w) => (id, t, tf, w) }.toSeq
+    // df(common)=3 of N=3 → idf=0; df(rare)=1 → 2·ln(3)=2.197225
+    rows shouldBe Seq(
+      (1L, "common", 2L, 0.0), (1L, "rare", 2L, 2.197225),
+      (2L, "common", 2L, 0.0), (3L, "common", 2L, 0.0))
+  }
+
+  test("sequence generator emits k rows per input row, 1-based") {
+    import spark.implicits._
+    val dir = tmpTables("seq") { d =>
+      Seq(1L, 2L, 3L).toDF("o_orderkey")
+        .write.parquet(s"$d/orders.parquet")
+    }
+    val rows = Analytics.qSequence(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, 1L), (1L, 2L),                    // 1 % 5 + 1 = 2 rows
+      (2L, 1L), (2L, 2L), (2L, 3L),          // 3 rows
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 4L)) // 4 rows
+  }
+}
