@@ -154,6 +154,31 @@ object Joins {
       .orderBy($"custkey".asc_nulls_first)
   }
 
+  /** U3/U4 bag semantics — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicity (a user with 5 clicks and 2 errors retains 3 rows
+    * under except-all), unlike the DISTINCT-semantics semi/anti
+    * joins. Spark plans both via a count-aggregate + generate
+    * (replicate rows min/diff of counts) — one shuffle on the value,
+    * no join. The trailing group-count makes the oracle dump
+    * deterministic (a multiset has no row order). */
+  def qExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.filter($"event_type" === "click").select($"user_id")
+      .exceptAll(ev.filter($"event_type" === "error").select($"user_id"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  def qIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.filter($"event_type" === "click").select($"user_id")
+      .intersectAll(ev.filter($"event_type" === "error").select($"user_id"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_broadcast_join" -> (qBroadcastJoin _),
     "q_left_join_coalesce" -> (qLeftJoinCoalesce _),
@@ -164,6 +189,8 @@ object Joins {
     "q_ship_priority" -> (qShipPriority _),
     "q_range_join" -> (qRangeJoin _),
     "q_union_dedup" -> (qUnionDedup _),
+    "q_except_all" -> (qExceptAll _),
+    "q_intersect_all" -> (qIntersectAll _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,5 +265,19 @@ object Joins {
         |    SELECT DISTINCT o_custkey, 'ext', 2 FROM orders))
         |WHERE rn = 1
         |ORDER BY custkey ASC NULLS FIRST""".stripMargin,
+    "q_except_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
   )
 }

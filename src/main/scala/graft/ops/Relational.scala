@@ -202,8 +202,25 @@ object Relational {
       .limit(100)
   }
 
+  /** F3+ — ANSI-safe arithmetic/casting: under ANSI mode a division
+    * by zero or a bad cast THROWS; the try_ family returns NULL
+    * instead — the contract a 100 TB pipeline wants (quarantine bad
+    * rows, don't kill the job). Mixed success/failure in both
+    * columns so neither is degenerate-all-null. */
+  def qTryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        round(try_divide($"o_totalprice", $"o_custkey" % 3), 4).as("safe_ratio"),
+        expr("try_cast(CASE WHEN o_orderkey % 2 = 0 " +
+          "THEN substring(o_orderpriority, 1, 1) " +
+          "ELSE o_orderpriority END AS INT)").as("prio_num"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> (qPricingSummary _),
+    "q_try_funcs" -> (qTryFuncs _),
     "q_scan_order" -> (qScanOrder _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_string_scrub" -> (qStringScrub _),
@@ -231,6 +248,14 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice / NULLIF(o_custkey % 3, 0), 4) AS safe_ratio,
+        |  TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+        |    THEN substr(o_orderpriority, 1, 1)
+        |    ELSE o_orderpriority END AS INT) AS prio_num
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_scan_order" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
