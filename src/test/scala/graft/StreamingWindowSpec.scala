@@ -194,4 +194,33 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
       rows should contain(("u1", 1L))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: bounded state, re-emits after expiry (U2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The 100 TB-safe streaming dedup: plain dropDuplicates keeps every
+    // key forever (unbounded state); the WithinWatermark variant
+    // guarantees dedup only within the watermark delay and EVICTS the
+    // key after, so state is bounded by the delay window. An id
+    // re-arriving long after its first appearance is a NEW row by
+    // contract — asserted below, the semantic difference from the
+    // plain-dedup test above.
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()           // duplicate 'a' within the window: dropped
+      mem.addData((ts(60), "flush"))    // watermark → 50 min, 'a' state expires
+      q.processAllAvailable()
+      mem.addData((ts(61), "a"))        // 'a' again, far past the delay: re-emitted
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select($"id").as[String]
+        .collect().sorted
+      ids shouldBe Array("a", "a", "b", "flush")
+    } finally q.stop()
+  }
 }
