@@ -28,6 +28,20 @@ object Semi {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** S3 via the Spark 4 VARIANT type — parse once into the binary
+    * variant encoding, then typed path access (`variant_get`). At
+    * 100 TB this is the semi-structured column you'd PERSIST:
+    * shredded parquet storage + pushdown-able typed access, vs
+    * re-parsing JSON text per query (q_json_path's older path).
+    * Same oracle as q_json_path — the two access paths must agree. */
+  def qVariantPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_val"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
   /** S2/F5/X6 — JSON array ingest + explode (ext-streamlist files:
     * each a JSON array of ids, manager.py:134-149). Round-trips
     * to_json ∘ from_json with an explicit ArrayType schema. */
@@ -194,6 +208,7 @@ object Semi {
 
   val queries: Map[String, Q] = Map(
     "q_json_path" -> (qJsonPath _),
+    "q_variant_path" -> (qVariantPath _),
     "q_json_array_explode" -> (qJsonArrayExplode _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -209,6 +224,10 @@ object Semi {
 
   val oracles: Map[String, String] = Map(
     "q_json_path" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q_variant_path" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
         |FROM events
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,

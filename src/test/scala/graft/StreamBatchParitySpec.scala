@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+
+/** Batch-stream unification (T8 doctrine): the SAME declarative
+  * transformation runs as a batch query and as an incremental
+  * Structured Streaming job over the identical parquet input, and
+  * must produce identical results. This is the property that lets a
+  * 100 TB backfill and the live stream share one code path —
+  * `readStream` + Trigger.AvailableNow processes the existing files
+  * in bounded batches and terminates, exactly like a batch run but
+  * through the streaming engine (checkpointed, resumable).
+  */
+class StreamBatchParitySpec extends SparkSuite with Matchers {
+
+  test("tumbling-window agg: AvailableNow streaming run == batch run") {
+    import spark.implicits._
+    // the shared transformation, verbatim from q_tumbling_window's core
+    def tumble(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select(unix_micros($"w.start").as("bucket_us"), $"event_type", $"n", $"sum_value")
+
+    val batch = tumble(Tables.events(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    // stream the same parquet through the streaming engine
+    val out = java.nio.file.Files.createTempDirectory("graft_par_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_par_ck").toString
+    // declare the RAW parquet schema (ts = int64 nanos under
+    // nanosAsLong) and apply Tables.events' conversion on the stream;
+    // the file source wants a DIRECTORY, so stage the file into one
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_par_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val raw = Tables.load(spark, sf, "events").schema
+    val src = spark.readStream
+      .schema(raw)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = tumble(src.withWatermark("ts", "0 seconds"))
+      .writeStream
+      .outputMode("complete") // bounded input: full result at the end
+      .format("memory").queryName("parity_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val streamed = spark.table("parity_out").collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size should be > 0
+  }
+}
