@@ -140,6 +140,23 @@ object Analytics {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** A8+ — regression/correlation aggregates: OLS slope + intercept,
+    * Pearson r, sample covariance per group. One hash-agg pass (each
+    * is sum-based → map-side combinable); rounded because sum
+    * reassociation differs across engines (the residual error is
+    * ~1e-9 relative, far inside the rounding). */
+  def qRegr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("icept"),
+        round(corr($"l_extendedprice", $"l_quantity"), 6).as("r"),
+        round(covar_samp($"l_extendedprice", $"l_quantity"), 4).as("cov"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
   /** X6+ — row generator: explode(sequence(1, k)) emits k rows per
     * input row inside the projection — no shuffle, no driver loop;
     * the 100 TB analog of "generate retry slots / date spines".
@@ -161,6 +178,7 @@ object Analytics {
     "q_cust_distribution" -> (qCustDistribution _),
     "q_order_priority" -> (qOrderPriority _),
     "q_bit_agg" -> (qBitAgg _),
+    "q_regr" -> (qRegr _),
     "q_sequence" -> (qSequence _),
   )
 
@@ -229,6 +247,15 @@ object Analytics {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "q_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS r,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_sequence" ->
       """SELECT o_orderkey,
         |  unnest(generate_series(1, o_orderkey % 5 + 1)) AS i

@@ -100,6 +100,18 @@ class OpsSpec extends SparkSuite with Matchers {
     plan should not include "l_comment"
   }
 
+  test("AQE coalesces the 32 shuffle partitions down to the data's size") {
+    // §4.3 doctrine: shuffle partitions are sized by DATA, not the
+    // static conf — on sf0.001 the post-shuffle stage must not run 32
+    // near-empty tasks. Assert the final adaptive plan actually
+    // installed a coalesced AQEShuffleRead.
+    val df = Relational.qGroupCount(spark, sf)
+    df.collect() // AQE finalizes only on execution
+    val fin = df.queryExecution.executedPlan.toString
+    fin should include("AQEShuffleRead")
+    fin should include("coalesced")
+  }
+
   test("anti join excludes exactly the blocklisted keys") {
     import spark.implicits._
     val blocked = graft.Tables.customer(spark, sf)
