@@ -106,6 +106,49 @@ object Similarity {
       .orderBy($"label".asc_nulls_first, $"pos".asc_nulls_first)
   }
 
+  /** The full IVF index build: Lloyd's k-means composed from engine
+    * primitives — q_centroids is ONE iteration, this loops it to
+    * convergence. Per iteration: (1) broadcast the k centroids (a
+    * k-row dimension — tiny at any corpus scale) against the
+    * distributed vectors, squared-distance via the codegen'd
+    * graft_dot identity |v−c|² = v·v − 2v·c + c·c, argmin per vector
+    * with a deterministic (dist, cid) tie-break; (2) recompute
+    * centroids by posexplode + hash-agg exactly like q_centroids.
+    * Only the k×dim centroid table ever reaches the driver; vectors
+    * stay distributed. Returns per-iteration SSE — Lloyd guarantees
+    * it non-increasing, which KMeansSpec asserts. */
+  def kmeansSse(spark: SparkSession, dir: String, k: Int, iters: Int): Seq[Double] = {
+    import spark.implicits._
+    val vecs = withVec(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"vec",
+        expr("graft_dot(vec, vec)").as("vv"))
+      .cache()
+    // deterministic seed: the k lowest vec_ids
+    var centroids = vecs.orderBy($"vec_id".asc).limit(k)
+      .select($"vec_id".cast("int").as("cid"), $"vec".as("cvec"))
+    val sse = (1 to iters).map { _ =>
+      val cents = centroids
+        .withColumn("cc", expr("graft_dot(cvec, cvec)"))
+      val w = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("dist", $"vv" - lit(2.0) * expr("graft_dot(vec, cvec)") + $"cc")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cid", $"vec", $"dist")
+      val iterSse = assigned.agg(sum($"dist")).head().getDouble(0)
+      centroids = assigned
+        .select($"cid", posexplode($"vec").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg(avg($"x").as("c"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"cid", expr("transform(pc, e -> e.c)").as("cvec"))
+      iterSse
+    }
+    vecs.unpersist()
+    sse
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
