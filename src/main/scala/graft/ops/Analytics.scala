@@ -140,6 +140,62 @@ object Analytics {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** J7+A2 — large-volume orders (TPC-H Q18 shape): HAVING-filtered
+    * aggregate as a join input — lineitem pre-aggregated per order,
+    * thresholded, then joined back to orders+customer. The aggregate
+    * runs BEFORE the joins, so the join probe is only the qualifying
+    * orders (the classic "reduce before join" doctrine). */
+  def qBigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bulky = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .filter($"sum_qty" > 150)
+    Tables.orders(spark, dir)
+      .join(bulky, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey",
+        round($"o_totalprice", 2).as("total"), $"sum_qty")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  /** A7+J1 — promo revenue share (TPC-H Q14 shape): conditional
+    * aggregate ratio over a broadcast dimension join, per ship
+    * month. The CASE keys off the joined dim attribute; numerator
+    * and denominator come from ONE aggregate pass. */
+  def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").cast("date").as("month"))
+      .agg(round(
+        lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0)))
+          / sum(rev), 4).as("promo_share"))
+      .orderBy($"month".asc_nulls_first)
+  }
+
+  /** J8+ — disjunctive-predicate join (TPC-H Q19 shape): OR'd
+    * condition groups that share the partkey equi key. Catalyst must
+    * extract the equi key for the hash join and evaluate the OR as a
+    * residual — the plan-shape trap is degrading to a nested loop
+    * over the disjunction (the registry sweep would catch it). */
+  def qDisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        $"l_partkey" === $"p_partkey" && (
+          ($"p_brand" === "Brand#4" && $"p_size" <= 10 &&
+            $"l_quantity".between(5, 20)) ||
+          ($"p_brand" === "Brand#2" && $"p_size" <= 25 &&
+            $"l_quantity".between(20, 35))))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"p_brand".asc_nulls_first)
+  }
+
   /** A8+ — regression/correlation aggregates: OLS slope + intercept,
     * Pearson r, sample covariance per group. One hash-agg pass (each
     * is sum-based → map-side combinable); rounded because sum
@@ -180,6 +236,9 @@ object Analytics {
     "q_bit_agg" -> (qBitAgg _),
     "q_regr" -> (qRegr _),
     "q_sequence" -> (qSequence _),
+    "q_big_spenders" -> (qBigSpenders _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_disjunctive_join" -> (qDisjunctiveJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +306,34 @@ object Analytics {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "q_big_spenders" ->
+      """WITH bulky AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 150)
+        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total, sum_qty
+        |FROM orders
+        |JOIN bulky ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY month
+        |ORDER BY month ASC NULLS FIRST""".stripMargin,
+    "q_disjunctive_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size <= 10
+        |         AND l_quantity BETWEEN 5 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size <= 25
+        |         AND l_quantity BETWEEN 20 AND 35)
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
     "q_regr" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
