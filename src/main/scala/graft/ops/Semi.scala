@@ -174,6 +174,23 @@ object Semi {
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
   }
 
+  /** LATERAL correlated table subquery (SQL surface): a per-row
+    * derived table referencing the outer row — the generalization of
+    * the scalar subquery to multiple columns. Catalyst decorrelates
+    * it into an aggregate + equi join (DecorrelateInnerQuery), so
+    * there is no per-row re-execution at any scale. */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lat_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, l.n_lines, l.max_qty
+        |FROM lat_orders,
+        |LATERAL (SELECT count(*) AS n_lines,
+        |           round(max(l_quantity), 2) AS max_qty
+        |         FROM lat_lineitem WHERE l_orderkey = o_orderkey) l
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Pivot — events.event_type fanned out to per-type count columns
     * (explicit value list so the plan is static: no extra collect
     * pass to discover values, which matters at 100 TB). */
@@ -220,6 +237,7 @@ object Semi {
     "q_unpivot" -> (qUnpivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_lateral" -> (qLateral _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +340,13 @@ object Semi {
         |ORDER BY o_orderpriority ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST, g_prio ASC NULLS FIRST,
         |  g_status ASC NULLS FIRST""".stripMargin,
+    "q_lateral" ->
+      """SELECT o_orderkey, l.n_lines, l.max_qty
+        |FROM orders,
+        |LATERAL (SELECT count(*) AS n_lines,
+        |           round(max(l_quantity), 2) AS max_qty
+        |         FROM lineitem WHERE l_orderkey = o_orderkey) l
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_scalar_subquery" ->
       """WITH cnt AS (
         |  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n
