@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SimHash63}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash63"),
+      new ExpressionInfo(classOf[SimHash63].getName, "graft_simhash63"),
+      (children: Seq[Expression]) => SimHash63(children.head)))
     // bounded edit-distance comparisons → banded thresholded DP
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
   }

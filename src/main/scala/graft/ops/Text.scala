@@ -371,9 +371,22 @@ object Text {
     * portably. */
   private[graft] def simhashSigs63(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Explode×63 beats a 63-column wide agg here (measured 4.0 s vs
-    // 6.4 s at sf0.1): the narrow (doc_id, p) agg stays in compact
-    // codegen while 63 when/conv projections + 63 agg buffers don't.
+    // ONE projection pass via the native graft_simhash63 expression
+    // (graft.functions.SimHash63): per-doc token walk with 63 local
+    // counters — no 63× explode, no (doc_id, p) shuffle, SHA-256 once
+    // per token. Bit-identical to simhashSigs63Sql (the oracle's
+    // formulation; differential-tested in SketchSpec).
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("graft_simhash63(array_distinct(split(trim(lower(text)), ' +')))")
+          .as("simhash"))
+  }
+
+  /** The SQL-expressible formulation simhashSigs63 replaced — kept as
+    * the parity reference (it IS the DuckDB oracle's shape): explode
+    * tokens ×63 positions, hex-digit sign votes, two hash-aggs. */
+  private[graft] def simhashSigs63Sql(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
       .withColumn("h", sha2($"tok", 256))

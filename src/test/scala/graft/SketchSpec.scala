@@ -114,4 +114,15 @@ class SketchSpec extends SparkSuite with Matchers {
     logged should have size 3
     logged.foreach(_ should startWith("2024-01-02T03:04:05 converting "))
   }
+
+  test("native graft_simhash63 is bit-identical to the SQL explode formulation") {
+    import spark.implicits._
+    val fast = graft.ops.Text.simhashSigs63(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ref = graft.ops.Text.simhashSigs63Sql(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    fast.keySet shouldBe ref.keySet
+    fast.foreach { case (id, sig) => sig shouldBe ref(id) }
+    fast.values.foreach(_ should be >= 0L) // 63-bit: never negative
+  }
 }
