@@ -213,6 +213,125 @@ object Analytics {
       .orderBy($"l_returnflag".asc_nulls_first)
   }
 
+  /** J7+A8 — correlated-average threshold (TPC-H Q17 shape): lines
+    * whose quantity is below 1/5 of their part's average quantity.
+    * Catalyst's decorrelation target: the per-part average becomes a
+    * shuffle-side aggregate joined back on l_partkey — the aggregate
+    * is corpus-scale, so it is UNHINTED (broadcasting it would be the
+    * 100 TB bug). Parity is EXACT: quantities are integer-valued, so
+    * `5*qty*cnt < sum_qty` is pure integer math in doubles — no
+    * avg-rounding tie can flip a row across engines. */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("sum_qty"))
+    li.join(Tables.part(spark, dir).filter($"p_brand" === "Brand#3"),
+        $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"pk")
+      .filter(lit(5.0) * $"l_quantity" * $"cnt" < $"sum_qty")
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** J5+J6 — EXISTS and NOT-EXISTS over the same derived table (TPC-H
+    * Q21 shape): the only-late-supplier-on-a-shared-order query. The
+    * `late` set is derived once and used three ways — probe, semi
+    * (some other supplier on the order), anti (no other LATE supplier
+    * on the order). All three joins hash on l_orderkey, so AQE can
+    * reuse the exchange; nothing is broadcast (late lines scale with
+    * the fact table). Date arithmetic is integral → exact parity. */
+  def qLateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val anyLine = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val late = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .select($"l_orderkey", $"l_suppkey")
+    late.as("l1")
+      .join(anyLine.as("l2"),
+        col("l2.l_orderkey") === col("l1.l_orderkey") &&
+          col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
+      .join(late.as("l3"),
+        col("l3.l_orderkey") === col("l1.l_orderkey") &&
+          col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc_nulls_last, $"s_name".asc_nulls_first)
+      .limit(20)
+  }
+
+  /** J6+scalar — anti join gated by a global scalar aggregate (TPC-H
+    * Q22 shape): rich-but-dormant customers (no order since
+    * 2000-01-01) per segment. The scalar
+    * threshold is a ONE-ROW aggregate broadcast into a cross join —
+    * the only broadcast that is safe at every scale. Parity is EXACT:
+    * the comparison runs in integer cents (`bal_cents * cnt >
+    * sum_cents`), so summation-order drift in a double avg can never
+    * flip a boundary customer. */
+  def qIdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = Tables.customer(spark, dir)
+      .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .withColumn("bal_cents", round($"c_acctbal" * 100).cast("long"))
+    val thresh = pool.filter($"bal_cents" > 0)
+      .agg(sum($"bal_cents").as("sum_cents"), count(lit(1)).as("cnt"))
+    pool.crossJoin(broadcast(thresh))
+      .filter($"bal_cents" * $"cnt" > $"sum_cents")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+          .select($"o_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  /** A2+scalar — group share of a global aggregate (TPC-H Q11 shape):
+    * parts whose revenue exceeds 1.25× the mean per-part revenue (a
+    * scale-invariant threshold — a fixed fraction of the grand total
+    * selects nothing once the part count grows). The mean is
+    * an aggregate OF the per-key aggregate — computed once from the
+    * grouped frame (one pass over the fact, then a one-row reduce),
+    * broadcast back as a cross join. Never a self-join of two full
+    * scans. */
+  def qPartShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
+    val total = rev.agg(avg($"r").as("t"))
+    rev.crossJoin(broadcast(total))
+      .filter($"r" > lit(1.25) * $"t")
+      .select($"l_partkey", round($"r", 2).as("revenue"))
+      .orderBy($"revenue".desc_nulls_last, $"l_partkey".asc_nulls_first)
+  }
+
+  /** A2+scalar — argmax of an aggregate (TPC-H Q15 shape): the
+    * supplier(s) with maximum revenue in a quarter. max() reduces the
+    * per-supplier aggregate to one row, broadcast back for the
+    * equality filter — the scale-correct alternative to a global
+    * (unpartitioned) rank window, which would sort everything on one
+    * task. Within-engine double equality is exact (same computed
+    * values); output revenue rounded for cross-engine defense. */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_rev"))
+    val mx = srev.agg(max($"total_rev").as("mx"))
+    srev.crossJoin(broadcast(mx))
+      .filter($"total_rev" === $"mx")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"total_rev", 2).as("total_rev"))
+      .orderBy($"s_suppkey".asc_nulls_first)
+  }
+
   /** X6+ — row generator: explode(sequence(1, k)) emits k rows per
     * input row inside the projection — no shuffle, no driver loop;
     * the 100 TB analog of "generate retry slots / date spines".
@@ -239,6 +358,11 @@ object Analytics {
     "q_big_spenders" -> (qBigSpenders _),
     "q_promo_share" -> (qPromoShare _),
     "q_disjunctive_join" -> (qDisjunctiveJoin _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_late_suppliers" -> (qLateSuppliers _),
+    "q_idle_customers" -> (qIdleCustomers _),
+    "q_part_share" -> (qPartShare _),
+    "q_top_supplier" -> (qTopSupplier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +473,67 @@ object Analytics {
         |FROM orders
         |WHERE o_orderkey <= 200
         |ORDER BY o_orderkey ASC NULLS FIRST, i ASC NULLS FIRST""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3' AND 5.0 * l_quantity * cnt < sum_qty""".stripMargin,
+    "q_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+    "q_idle_customers" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        |thr AS (
+        |  SELECT sum(bal_cents) AS sum_cents, count(*) AS cnt
+        |  FROM pool WHERE bal_cents > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM pool, thr
+        |WHERE bal_cents * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q_part_share" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(r, 2) AS revenue
+        |FROM rev
+        |WHERE r > 1.25 * (SELECT avg(r) FROM rev)
+        |ORDER BY revenue DESC NULLS LAST, l_partkey ASC NULLS FIRST""".stripMargin,
+    "q_top_supplier" ->
+      """WITH srev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+        |FROM supplier JOIN srev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM srev)
+        |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
   )
 }
