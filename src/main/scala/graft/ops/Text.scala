@@ -412,6 +412,15 @@ object Text {
     * q_minhash_dedup's LSH bands. */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    simhashPairs(spark, dir)
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  /** The (da, db, hamming) near-dup pair set qSimhashNeardup orders
+    * and qDedupClusters clusters — banded candidate generation +
+    * exact hamming re-rank, unordered. */
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val banded = simhashSigs63(spark, dir)
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
       .withColumn("bv", expr("(simhash >> (bp * 16)) & 65535"))
@@ -426,7 +435,48 @@ object Text {
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter($"hamming" <= 3)
       .select($"da", $"db", $"hamming")
-      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  /** L7 consumer — near-dup CLUSTER ASSIGNMENT: connected components
+    * of the SimHash pair graph, each doc labeled with the minimum
+    * doc_id reachable from it (the canonical survivor a dedup keeps).
+    *
+    * Iterative min-label propagation: every round each node takes the
+    * min of its own label and its neighbors' labels; fixpoint after
+    * `diameter` rounds. Each round is one shuffle join + hash-agg —
+    * fully distributed; the driver only orchestrates and reads the
+    * converged-yet? count. `localCheckpoint` truncates the growing
+    * lineage each round (plan size would otherwise double per
+    * iteration). Labels only ever decrease, so `changed` counts
+    * strictly-smaller labels. At 100 TB the round count is the pair
+    * graph's diameter — near-dup graphs are dense within a cluster
+    * (band collisions), so it converges in a handful of rounds; a
+    * production variant would alternate large-star/small-star
+    * contraction for O(log n) worst-case rounds. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = simhashPairs(spark, dir).select($"da", $"db")
+    val edges = pairs.union(pairs.select($"db", $"da"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("v")).distinct()
+      .withColumn("lbl", $"v")
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, $"src" === $"v")
+        .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(prop, $"v" === $"dst", "left")
+        .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.withColumnRenamed("lbl", "nl")
+        .join(labels, "v").filter($"nl" < $"lbl").count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
+      .orderBy($"doc_id".asc_nulls_first)
   }
 
   val queries: Map[String, Q] = Map(
@@ -444,6 +494,7 @@ object Text {
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sentences" -> (qSentences _),
   )
@@ -660,6 +711,40 @@ object Text {
         |FROM cand
         |WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 63) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bp,
+        |    (simhash >> (bp * 16)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) s(bp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x
+        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT da, db FROM cand
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |walk(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src)
+        |SELECT v AS doc_id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY v
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_pii_scrub" ->
       """WITH s AS (SELECT doc_id, text,
         |    regexp_replace(

@@ -75,6 +75,22 @@ class CorpusSpec extends SparkSuite with Matchers {
       (2L, "common", 2L, 0.0), (3L, "common", 2L, 0.0))
   }
 
+  test("dedup clusters: every component member gets the min doc_id label") {
+    import spark.implicits._
+    // identical texts → identical 63-bit signatures → hamming-0 pairs;
+    // doc 30 has no near-dup, so it is absent from the pair graph
+    val dir = tmpTables("clusters") { d =>
+      Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma"),
+        (12L, "alpha beta gamma"),
+        (20L, "delta epsilon zeta"), (21L, "delta epsilon zeta"),
+        (30L, "unique snowflake document"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    graft.ops.Text.qDedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toSeq shouldBe
+      Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+  }
+
   test("sequence generator emits k rows per input row, 1-based") {
     import spark.implicits._
     val dir = tmpTables("seq") { d =>
