@@ -114,11 +114,44 @@ object Corpus {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L4+ — pointwise mutual information of token pairs co-occurring
+    * in a document: ln(c_ab · N / (df_a · df_b)) for pairs seen in
+    * ≥ 5 docs — the classic phrase/collocation miner. Pair
+    * generation is a per-document self-join on distinct tokens —
+    * quadratic in per-doc DISTINCT vocabulary, which is what a
+    * production pipeline bounds (top-k tokens per doc or a sliding
+    * co-occurrence window) — the join itself shuffles on doc_id
+    * only. df and N are token- and corpus-level aggregates: df joins
+    * are vocabulary-sized, N is a broadcast single row. The ratio is
+    * integer-exact before the ln; ORDER BY leads with integer cab,
+    * never the float, so a last-ulp ln difference cannot reorder. */
+  def qPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val uni = t.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val nd = t.agg(count_distinct($"doc_id").as("nd"))
+    t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+      .join(uni.select($"tok".as("ta"), $"df".as("dfa")), "ta")
+      .join(uni.select($"tok".as("tb"), $"df".as("dfb")), "tb")
+      .crossJoin(broadcast(nd))
+      .select($"ta", $"tb", $"cab",
+        round(log($"cab" * $"nd" / ($"dfa" * $"dfb")), 6).as("pmi"))
+      .orderBy($"cab".desc_nulls_last, $"ta".asc_nulls_first,
+        $"tb".asc_nulls_first)
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_bigram_freq" -> (qBigramFreq _),
     "q_edit_distance" -> (qEditDistance _),
+    "q_pmi" -> (qPmi _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +195,22 @@ object Corpus {
         |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_pmi" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+        |pairs AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS cab
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ta, tb, cab,
+        |  round(ln(cab * nd / (ua.df * ub.df)), 6) AS pmi
+        |FROM pairs
+        |JOIN uni ua ON ua.tok = ta
+        |JOIN uni ub ON ub.tok = tb
+        |CROSS JOIN nd
+        |ORDER BY cab DESC NULLS LAST, ta ASC NULLS FIRST, tb ASC NULLS FIRST
+        |LIMIT 50""".stripMargin,
   )
 }

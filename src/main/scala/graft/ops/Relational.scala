@@ -131,6 +131,23 @@ object Relational {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** A2+skew — the SAME per-key aggregate as q_group_count's family,
+    * but computed through Skew.saltedAgg's two-phase salted plan:
+    * spray each key across 16 deterministic sub-keys, partially
+    * aggregate, merge the partials. Result is identical to a direct
+    * groupBy (the oracle IS the direct GROUP BY); what changes is the
+    * plan — the hot event_type key fans out over 16 reducers instead
+    * of funneling into one straggler. event_type has ~5 distinct
+    * values, the canonical low-cardinality skew shape at 100 TB.
+    * The sum is rounded at 4: two-phase summation reassociates. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Skew.saltedAgg(Tables.events(spark, dir),
+        key = "event_type", valueCol = "value", spreadCol = "event_id")
+      .select($"event_type", $"n", round($"s", 4).as("total"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
   /** A3 — size-reduction ratio metric, scale 3 (convert.sh:101-106:
     * `100*(1-new/old)`). Ratio-of-sums, rounded to the reference's
     * 3-digit precision — which also absorbs double reassociation. */
@@ -228,6 +245,7 @@ object Relational {
     "q_concat_proj" -> (qConcatProj _),
     "q_case_when" -> (qCaseWhen _),
     "q_group_count" -> (qGroupCount _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_ratio_agg" -> (qRatioAgg _),
     "q_collect_list" -> (qCollectList _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -302,6 +320,11 @@ object Relational {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "q_ratio_agg" ->
       """SELECT l_returnflag,
         |  round(100.0 * (1.0 - sum(l_extendedprice * (1.0 - l_discount)) / sum(l_extendedprice)), 3)
