@@ -461,16 +461,29 @@ object Text {
     var labels = edges.select($"src".as("v")).distinct()
       .withColumn("lbl", $"v")
       .localCheckpoint()
-    var changed = 1L
+    var sumPrev = Option.empty[BigDecimal]
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val prop = edges.join(labels, $"src" === $"v")
         .groupBy($"dst").agg(min($"lbl").as("nlbl"))
-      val next = labels.join(prop, $"v" === $"dst", "left")
+      val stepped = labels.join(prop, $"v" === $"dst", "left")
         .select($"v", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+      // pointer jump (path doubling): a label is itself a node, so
+      // follow it one hop — lbl := label(lbl). Propagation distance
+      // doubles per round, so convergence is O(log diameter) rounds
+      // instead of O(diameter).
+      val next = stepped.as("s")
+        .join(stepped.select($"v".as("pv"), $"lbl".as("plbl")),
+          $"lbl" === $"pv", "left")
+        .select($"v", least($"lbl", coalesce($"plbl", $"lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.withColumnRenamed("lbl", "nl")
-        .join(labels, "v").filter($"nl" < $"lbl").count()
+      // convergence: labels only decrease, so the label sum strictly
+      // decreases until fixpoint — one agg, no compare-join. Decimal
+      // sum so huge doc_id domains cannot overflow the check.
+      val s = next.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = sumPrev.contains(BigDecimal(s))
+      sumPrev = Some(BigDecimal(s))
       labels = next
       rounds += 1
     }
