@@ -131,6 +131,21 @@ object Relational {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** P6+ — deterministic hash sampling: keep rows whose key's SHA-256
+    * hex starts with '0' — an exact, REPRODUCIBLE 1/16 sample (the
+    * corpus-subset primitive a training pipeline needs: same subset
+    * on every engine, every run, every scale; widen the prefix set to
+    * change the rate). Pure projection filter — pipelined into the
+    * scan, no shuffle, no RNG state; contrast with sample()/rand(),
+    * whose output is engine- and partitioning-dependent. */
+  def qHashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter(substring(sha2($"o_orderkey".cast("string"), 256), 1, 1) === "0")
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("total"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
   /** A2+skew — the SAME per-key aggregate as q_group_count's family,
     * but computed through Skew.saltedAgg's two-phase salted plan:
     * spray each key across 16 deterministic sub-keys, partially
@@ -246,6 +261,7 @@ object Relational {
     "q_case_when" -> (qCaseWhen _),
     "q_group_count" -> (qGroupCount _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_hash_sample" -> (qHashSample _),
     "q_ratio_agg" -> (qRatioAgg _),
     "q_collect_list" -> (qCollectList _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -325,6 +341,11 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_ratio_agg" ->
       """SELECT l_returnflag,
         |  round(100.0 * (1.0 - sum(l_extendedprice * (1.0 - l_discount)) / sum(l_extendedprice)), 3)

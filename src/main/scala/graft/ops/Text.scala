@@ -455,6 +455,13 @@ object Text {
     * contraction for O(log n) worst-case rounds. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    clusterLabels(spark, dir).orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The unordered (doc_id, cluster_id) assignment qDedupClusters
+    * sorts and qKeepCanonical consumes. */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairs = simhashPairs(spark, dir).select($"da", $"db")
     val edges = pairs.union(pairs.select($"db", $"da"))
       .toDF("src", "dst").cache()
@@ -481,7 +488,7 @@ object Text {
       // convergence: labels only decrease, so the label sum strictly
       // decreases until fixpoint — one agg, no compare-join. Decimal
       // sum so huge doc_id domains cannot overflow the check.
-      val s = next.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
+      val s = next.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
       converged = sumPrev.contains(BigDecimal(s))
       sumPrev = Some(BigDecimal(s))
       labels = next
@@ -489,7 +496,26 @@ object Text {
     }
     edges.unpersist()
     labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
-      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L19 consumer — the dedup DECISION: one surviving document per
+    * near-dup cluster, keeping the longest text (n_chars DESC,
+    * doc_id ASC tie-break) and reporting cluster size. Cluster labels
+    * flow straight into a key-partitioned window — one extra shuffle
+    * on cluster_id past qDedupClusters; the documents join ships only
+    * (doc_id, n_chars), never text bodies. */
+  def qKeepCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = clusterLabels(spark, dir)
+    val meta = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val wc = Window.partitionBy($"cluster_id")
+    val wr = wc.orderBy($"n_chars".desc, $"doc_id".asc)
+    labels.join(meta, "doc_id")
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("keep_doc_id"), $"n_members")
+      .orderBy($"cluster_id".asc_nulls_first)
   }
 
   val queries: Map[String, Q] = Map(
@@ -508,6 +534,7 @@ object Text {
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_keep_canonical" -> (qKeepCanonical _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sentences" -> (qSentences _),
   )
@@ -758,6 +785,47 @@ object Text {
         |SELECT v AS doc_id, min(lbl) AS cluster_id
         |FROM walk GROUP BY v
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_keep_canonical" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 63) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bp,
+        |    (simhash >> (bp * 16)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) s(bp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x
+        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT da, db FROM cand
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |walk(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src),
+        |comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id
+        |  FROM walk GROUP BY v),
+        |r AS (SELECT cluster_id, c.doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, c.doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT cluster_id, doc_id AS keep_doc_id, n_members
+        |FROM r WHERE rk = 1
+        |ORDER BY cluster_id ASC NULLS FIRST""".stripMargin,
     "q_pii_scrub" ->
       """WITH s AS (SELECT doc_id, text,
         |    regexp_replace(
