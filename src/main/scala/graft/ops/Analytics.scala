@@ -332,6 +332,61 @@ object Analytics {
       .orderBy($"s_suppkey".asc_nulls_first)
   }
 
+  /** J7+ — the star-schema revenue rollup (TPC-H Q5 shape): a 6-way
+    * join where the nation/region dims are BROADCAST (genuinely
+    * bounded — ~200 nations on Earth) and the fact-side joins
+    * (orders, lineitem, supplier, customer) stay unhinted shuffles.
+    * The "local supplier" predicate (c_nationkey = s_nationkey) rides
+    * the customer join as an extra condition, not a separate pass;
+    * the date filter lands on the orders SCAN before any join. */
+  def qLocalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
+      .select($"n_nationkey", $"n_name")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(dims), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc_nulls_last, $"n_name".asc_nulls_first)
+  }
+
+  /** J7+O2 — returned-item report (TPC-H Q10 shape): fact joins
+    * reduced by scan-level filters (return flag, date window), then a
+    * per-customer aggregate, then top-20 — the aggregate runs BEFORE
+    * the limit so the sort sees |customers| rows, not |lineitem|;
+    * nation lookup is broadcast. */
+  def qReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue",
+        round($"c_acctbal", 2).as("acctbal"), $"n_name")
+      .orderBy($"revenue".desc_nulls_last, $"c_custkey".asc_nulls_first)
+      .limit(20)
+  }
+
   /** X6+ — row generator: explode(sequence(1, k)) emits k rows per
     * input row inside the projection — no shuffle, no driver loop;
     * the 100 TB analog of "generate retry slots / date spines".
@@ -363,6 +418,8 @@ object Analytics {
     "q_idle_customers" -> (qIdleCustomers _),
     "q_part_share" -> (qPartShare _),
     "q_top_supplier" -> (qTopSupplier _),
+    "q_local_revenue" -> (qLocalRevenue _),
+    "q_returned_items" -> (qReturnedItems _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +592,29 @@ object Analytics {
         |FROM supplier JOIN srev ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM srev)
         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
+    "q_local_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
   )
 }
