@@ -387,6 +387,54 @@ object Analytics {
       .limit(20)
   }
 
+  /** J7+ — cross-nation trade volume (TPC-H Q7 shape): the SAME
+    * nation dim broadcast-joined TWICE under different keys (supplier
+    * side and customer side), an order-insensitive nation-PAIR
+    * disjunction as the residual, and a year extraction as a grouping
+    * key. Revenue rounded at 4 (exact 4-decimal rationals — see
+    * qReturnedItems). */
+  def qTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_2"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("yr"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+        .as("volume"))
+      .orderBy($"supp_nation".asc_nulls_first, $"cust_nation".asc_nulls_first,
+        $"yr".asc_nulls_first)
+  }
+
+  /** J7+A2 — product profit by nation and year (TPC-H Q9 shape; the
+    * reference testdata has no partsupp, so unit cost is proxied by
+    * p_retailprice — same plan shape, different constant). Profit is
+    * computed per LINE inside the projection, aggregated once per
+    * (nation, year) — the join tree reduces before the group-by, and
+    * only the red parts survive the part-dim filter. */
+  def qProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_name".like("%red%")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").as("yr"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        $"p_retailprice" * $"l_quantity"), 4).as("profit"))
+      .orderBy($"n_name".asc_nulls_first, $"yr".desc_nulls_last)
+  }
+
   /** X6+ — row generator: explode(sequence(1, k)) emits k rows per
     * input row inside the projection — no shuffle, no driver loop;
     * the 100 TB analog of "generate retry slots / date spines".
@@ -420,6 +468,8 @@ object Analytics {
     "q_top_supplier" -> (qTopSupplier _),
     "q_local_revenue" -> (qLocalRevenue _),
     "q_returned_items" -> (qReturnedItems _),
+    "q_trade_volume" -> (qTradeVolume _),
+    "q_product_profit" -> (qProductProfit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -616,5 +666,28 @@ object Analytics {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
+    "q_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS yr,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+        |  yr ASC NULLS FIRST""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name, year(o_orderdate) AS yr,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity), 4) AS profit
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY n_name, yr
+        |ORDER BY n_name ASC NULLS FIRST, yr DESC NULLS LAST""".stripMargin,
   )
 }
