@@ -462,9 +462,12 @@ object Text {
     * sorts and qKeepCanonical consumes. */
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = simhashPairs(spark, dir).select($"da", $"db")
+    // cache the PAIRS, not the union: the two union branches are
+    // separate plan subtrees, so an uncached union would run the
+    // banded self-join twice during materialization
+    val pairs = simhashPairs(spark, dir).select($"da", $"db").cache()
     val edges = pairs.union(pairs.select($"db", $"da"))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
     var labels = edges.select($"src".as("v")).distinct()
       .withColumn("lbl", $"v")
       .localCheckpoint()
@@ -480,11 +483,13 @@ object Text {
       // follow it one hop — lbl := label(lbl). Propagation distance
       // doubles per round, so convergence is O(log diameter) rounds
       // instead of O(diameter).
+      // LAZY checkpoint: the convergence aggregate below is the
+      // action that materializes it — one job per round, not two.
       val next = stepped.as("s")
         .join(stepped.select($"v".as("pv"), $"lbl".as("plbl")),
           $"lbl" === $"pv", "left")
         .select($"v", least($"lbl", coalesce($"plbl", $"lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // convergence: labels only decrease, so the label sum strictly
       // decreases until fixpoint — one agg, no compare-join. Decimal
       // sum so huge doc_id domains cannot overflow the check.
@@ -494,7 +499,7 @@ object Text {
       labels = next
       rounds += 1
     }
-    edges.unpersist()
+    pairs.unpersist()
     labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
   }
 
