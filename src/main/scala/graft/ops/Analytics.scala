@@ -448,8 +448,160 @@ object Analytics {
       .orderBy($"o_orderkey".asc_nulls_first, $"i".asc_nulls_first)
   }
 
+  /** J2+W5 — min-cost supplier per part (TPC-H Q2 shape; the testdata
+    * has no partsupp, so the offer book is derived from observed
+    * lineitem prices: min(l_extendedprice / l_quantity) per
+    * (part, supplier) is that supplier's unit-cost offer). The
+    * correlated MIN-subquery becomes a per-part argmin window
+    * (row_number over cost) — and the part-dim FILTER JOIN runs
+    * BEFORE the window, so at 100 TB the window sorts only the
+    * surviving parts' offers, not the whole offer book. min() and /
+    * are order-insensitive IEEE ops, bit-identical on any engine. */
+  def qMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+    val w = Window.partitionBy($"p_partkey")
+      .orderBy($"unit_cost".asc, $"l_suppkey".asc)
+    offers
+      .join(Tables.part(spark, dir)
+        .filter($"p_size" <= 15 && $"p_type" === "LARGE"),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"l_suppkey", $"unit_cost")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"p_partkey", $"s_name", $"n_name",
+        round($"unit_cost", 4).as("unit_cost"))
+      .orderBy($"p_partkey".asc_nulls_first)
+  }
+
+  /** A3+ — forecast-revenue-change scalar (TPC-H Q6 shape): a pure
+    * filter + single global sum, the cheapest possible full-scan
+    * query — at 100 TB the predicate and the 2-column projection both
+    * reach the parquet scan (PushedFilters + ReadSchema), and the agg
+    * is map-side partial → one 1-row exchange. */
+  def qForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate") === 1996 &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"))
+  }
+
+  /** J7+A7 — national market share inside a region (TPC-H Q8 shape):
+    * the widest join tree in the suite — lineitem × part × orders ×
+    * customer × nation × region × supplier × nation — with the share
+    * computed as a conditional-sum ratio per order-year. Dims
+    * (nation ×2, region) broadcast; part is a FILTERED dim Catalyst
+    * sizes itself; the two fact joins hash on their natural keys.
+    * Ratio rounded at 6 (sum-order drift ~1e-12 relative). */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custNation = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("cnk"))
+    val suppNation = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_type" === "STANDARD"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderdate".between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp"))),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(custNation), $"c_nationkey" === $"cnk")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"snk")
+      .withColumn("vol", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_9", $"vol").otherwise(0.0)) /
+          sum($"vol"), 6).as("mkt_share"))
+      .orderBy($"yr".asc_nulls_first)
+  }
+
+  /** A7+J1 — late-shipment priority split (TPC-H Q12 shape; the
+    * testdata has no shipmode/commitdate, so the mode dimension is
+    * l_linestatus and "late" is shipped >60 days after order date).
+    * Conditional integer counts — exact on any engine; the date
+    * arithmetic stays inside the scan's filter. */
+  def qShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS") &&
+        year($"l_shipdate") === 1997)
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus".asc_nulls_first)
+  }
+
+  /** A5+J6 — supplier diversity per part profile (TPC-H Q16 shape):
+    * distinct-supplier count per (brand, type, size) over the
+    * observed lineitem offer pairs, EXCLUDING blocklisted suppliers
+    * (negative balance = the complaints analog) via anti-join.
+    * countDistinct shuffles (profile, suppkey) pairs once, then
+    * counts — no row explosion; the anti side is a tiny filtered dim. */
+  def qSupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+      .join(Tables.part(spark, dir)
+        .filter($"p_brand" =!= "Brand#5" &&
+          $"p_size".isin(1, 9, 15, 19, 23, 36, 45, 49)),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, dir).filter($"s_acctbal" < 0)
+        .select($"s_suppkey"),
+        $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc_nulls_last, $"p_brand".asc_nulls_first,
+        $"p_type".asc_nulls_first, $"p_size".asc_nulls_first)
+  }
+
+  /** J5+A2 — dominant suppliers of red parts (TPC-H Q20 shape; no
+    * partsupp, so "excess stock" becomes "shipped more than half of
+    * the part's 1997 volume"). Two aggregation GRAINS of the same
+    * reduced join — per (part,supp) then per part — compared with
+    * integer-exact math (2·q > total on integer-valued quantities),
+    * then DISTINCT suppliers. The per-part total REUSES the
+    * per-(part,supp) aggregate as its input — no second fact scan. */
+  def qExcessQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate") === 1997)
+      .join(Tables.part(spark, dir).filter($"p_name".like("red%"))
+        .select($"p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").as("q"))
+    val perPart = perSupp.groupBy($"l_partkey".as("pk"))
+      .agg(sum($"q").as("qt"))
+    perSupp.join(perPart, $"l_partkey" === $"pk")
+      .filter($"q" * 2.0 > $"qt")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_name").distinct()
+      .orderBy($"s_name".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_rank_dist" -> (qRankDist _),
+    "q_min_cost_supplier" -> (qMinCostSupplier _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_market_share" -> (qMarketShare _),
+    "q_shipmode_priority" -> (qShipmodePriority _),
+    "q_supplier_cnt" -> (qSupplierCnt _),
+    "q_excess_quantity" -> (qExcessQuantity _),
     "q_first_last" -> (qFirstLast _),
     "q_lead" -> (qLead _),
     "q_median_mode" -> (qMedianMode _),
@@ -473,6 +625,83 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT p_partkey, l_suppkey, unit_cost,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+        |  FROM offers JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 15 AND p_type = 'LARGE')
+        |SELECT p_partkey, s_name, n_name, round(unit_cost, 4) AS unit_cost
+        |FROM best
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_market_share" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_9'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |    AND TIMESTAMP '1997-12-31'
+        |GROUP BY yr
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin,
+    "q_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND year(l_shipdate) = 1997
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 9, 15, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS FIRST,
+        |  p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin,
+    "q_excess_quantity" ->
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1997 AND p_name LIKE 'red%'
+        |  GROUP BY l_partkey, l_suppkey),
+        |per_part AS (
+        |  SELECT l_partkey AS pk, sum(q) AS qt FROM per_supp GROUP BY 1)
+        |SELECT DISTINCT s_name
+        |FROM per_supp
+        |JOIN per_part ON l_partkey = pk
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE q * 2.0 > qt
+        |ORDER BY s_name ASC NULLS FIRST""".stripMargin,
     "q_rank_dist" ->
       """SELECT c_custkey, c_mktsegment,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
