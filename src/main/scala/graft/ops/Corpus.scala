@@ -146,7 +146,60 @@ object Corpus {
       .limit(50)
   }
 
+  /** L22 — sequence packing (concat-and-chunk): lay documents end to
+    * end per source stream and chunk at a fixed token budget — the
+    * batch-construction step of an LLM training pipeline. Each doc's
+    * start offset is an exclusive running sum of token counts
+    * (window, ROWS UNBOUNDED PRECEDING), from which its sequence id
+    * and offset are pure integer arithmetic — exact on any engine.
+    * At 100 TB packing is per (source, shard) exactly like this
+    * per-source window: one shuffle on the partition key, sort within
+    * partition, no global coordination — shards pack independently
+    * and seq ids are made globally unique by prefixing the shard id. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", size(toks($"text")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .select($"doc_id", $"source", $"n_tok",
+        floor($"start_off" / budget).as("seq_id"),
+        ($"start_off" % budget).as("seq_off"))
+      .orderBy($"source".asc_nulls_first, $"doc_id".asc_nulls_first)
+  }
+
+  /** L23 — benchmark decontamination: training docs sharing any
+    * 8-gram with the benchmark set (stand-in: doc_id % 10 == 0 — a
+    * deterministic eval split both engines agree on). 8-grams are
+    * built positionally inside the projection; the benchmark gram
+    * set is DISTINCT'd then joined — at 100 TB that side is
+    * benchmark-sized (thousands of docs), a true broadcast dim,
+    * while the training grams stream through the semi-join without
+    * ever materializing. Output is (doc, distinct matched grams) —
+    * integer-exact. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 8)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"t") - 7),
+        i => array_join(slice($"t", i, lit(8)), " "))).as("gram"))
+    val bench = grams.filter($"doc_id" % 10 === 0)
+      .select($"gram").distinct()
+    grams.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(count_distinct($"gram").as("hits"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_bigram_freq" -> (qBigramFreq _),
@@ -155,6 +208,32 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    len(string_split_regex(trim(lower(text)), ' +')) AS n_tok
+        |  FROM documents),
+        |packed AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM tok)
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(start_off // 512 AS BIGINT) AS seq_id,
+        |  CAST(start_off % 512 AS BIGINT) AS seq_off
+        |FROM packed
+        |ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 7),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS hits
+        |FROM g JOIN bench ON g.gram = bench.gram
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, count(*) AS tf FROM (

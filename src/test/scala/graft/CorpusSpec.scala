@@ -91,6 +91,47 @@ class CorpusSpec extends SparkSuite with Matchers {
       Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
   }
 
+  test("sequence packing: chunk boundaries fall at exact token-budget multiples") {
+    import spark.implicits._
+    // Four docs in one source stream: 500 + 12 tokens crosses the 512
+    // boundary exactly at doc 3 (seq_off 0 of seq 1); doc 4 lands
+    // mid-sequence. A second source packs independently from offset 0.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = tmpTables("pack") { d =>
+      Seq((1L, words(500), "a"), (2L, words(12), "a"),
+        (3L, words(100), "a"), (4L, words(50), "a"),
+        (9L, words(7), "b"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qPackSequences(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, "a", 500L, 0L, 0L),
+      (2L, "a", 12L, 0L, 500L),   // 500+12 = 512: fills seq 0 exactly
+      (3L, "a", 100L, 1L, 0L),    // starts at 512 → seq 1, offset 0
+      (4L, "a", 50L, 1L, 100L),
+      (9L, "b", 7L, 0L, 0L))      // source b packs from scratch
+  }
+
+  test("contamination: only docs sharing a full 8-gram with the benchmark flag") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val dir = tmpTables("contam") { d =>
+      Seq(
+        (10L, s"$shared tail tokens here"),         // benchmark (10 % 10 == 0)
+        (11L, s"prefix $shared more"),              // hit: full 8-gram shared
+        (12L, "one two three four five six seven"), // 7-gram only → no hit
+        (13L, s"$shared"),                          // hit: exact benchmark text
+        (14L, "totally different text with eight tokens padding pad"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qContamination(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    rows shouldBe Seq((11L, 1L), (13L, 1L))
+  }
+
   test("sequence generator emits k rows per input row, 1-based") {
     import spark.implicits._
     val dir = tmpTables("seq") { d =>
