@@ -197,7 +197,34 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L24 — domain mixture resampling: downsample each source to its
+    * configured mixture weight, deterministically. Per-source keep
+    * fraction = min(1, w·8/N_s) where w is the domain's weight (a
+    * config-dim stand-in derived from the source id) and N_s its doc
+    * count; a doc survives iff its SHA-256-derived u16 falls below
+    * frac·65536 — the same reproducible-sampling contract as
+    * q_hash_sample (any engine, any run, any partitioning). The
+    * per-source (count, weight) table is domain-cardinality — a true
+    * broadcast dim at 100 TB — while the docs stream through one
+    * pipelined filter; no RNG, no shuffle of the corpus. */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val dims = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", substring($"source", 4, 10).cast("long") % 4 + 1)
+      .withColumn("frac", least(lit(1.0), $"w" * 8.0 / $"n_s"))
+    docs.select($"doc_id", $"source")
+      .join(broadcast(dims), "source")
+      .withColumn("u16",
+        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
+          .cast("long"))
+      .filter($"u16" < $"frac" * 65536.0)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mixture_sample" -> (qMixtureSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
@@ -208,6 +235,17 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_sample" ->
+      """WITH dims AS (
+        |  SELECT source, count(*) AS n_s,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |fr AS (SELECT source, least(1.0, w * 8.0 / n_s) AS frac FROM dims)
+        |SELECT doc_id, d.source
+        |FROM documents d JOIN fr ON d.source = fr.source
+        |WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) < frac * 65536.0
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_pack_sequences" ->
       """WITH tok AS (SELECT doc_id, source,
         |    len(string_split_regex(trim(lower(text)), ' +')) AS n_tok
