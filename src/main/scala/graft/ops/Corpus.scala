@@ -223,7 +223,33 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L25 — intra-document repetition (the repeated-n-gram quality
+    * rule): share of a doc's 3-grams that are duplicates of an
+    * earlier 3-gram in the SAME doc — boilerplate and looping text
+    * score high and get filtered before training. Grams are built
+    * positionally in the projection; total and distinct counts are
+    * one hash-agg keyed by doc_id (the explode multiplies rows
+    * in-stage; the only shuffle carries (doc_id, gram) pairs). The
+    * ratio is integer-exact before one rounded division; the flag
+    * threshold is integer math (5·dup > total ⇔ ratio > 0.2). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"t") - 2),
+        i => array_join(slice($"t", i, lit(3)), " "))).as("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n3"), count_distinct($"gram").as("d3"))
+      .select($"doc_id", $"n3", $"d3",
+        round(($"n3" - $"d3").cast("double") / $"n3", 6).as("rep_ratio"),
+        (($"n3" - $"d3") * 5 > $"n3").cast("int").as("flagged"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_repetition" -> (qRepetition _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_contamination" -> (qContamination _),
@@ -235,6 +261,20 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 3),
+        |agg AS (SELECT doc_id, count(*) AS n3,
+        |    count(DISTINCT gram) AS d3 FROM g GROUP BY doc_id)
+        |SELECT doc_id, CAST(n3 AS BIGINT) AS n3, CAST(d3 AS BIGINT) AS d3,
+        |  round(CAST(n3 - d3 AS DOUBLE) / n3, 6) AS rep_ratio,
+        |  CAST((n3 - d3) * 5 > n3 AS INT) AS flagged
+        |FROM agg
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_mixture_sample" ->
       """WITH dims AS (
         |  SELECT source, count(*) AS n_s,

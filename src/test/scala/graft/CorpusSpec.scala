@@ -132,6 +132,25 @@ class CorpusSpec extends SparkSuite with Matchers {
     rows shouldBe Seq((11L, 1L), (13L, 1L))
   }
 
+  test("repetition: the 20% flag threshold is strict, looping text flags") {
+    import spark.implicits._
+    val dir = tmpTables("rep") { d =>
+      Seq(
+        // 12 tokens → 10 3-grams, 8 distinct (abc, bca twice) →
+        // dup=2, 5·2 == 10 → ratio exactly 0.2 → NOT flagged (strict >)
+        (1L, "a b c a b c a e f g h i"),
+        // pure loop: 6 3-grams, 2 distinct → ratio 2/3 → flagged
+        (2L, "x y x y x y x y"),
+        (3L, "too short"))  // < 3 tokens → no row at all
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qRepetition(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, 10L, 8L, 0.2, 0),
+      (2L, 6L, 2L, 0.666667, 1))
+  }
+
   test("sequence generator emits k rows per input row, 1-based") {
     import spark.implicits._
     val dir = tmpTables("seq") { d =>
