@@ -248,7 +248,83 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L26 — cross-doc duplicate n-gram coverage (the corpus-level dedup
+    * *metric*, complementing the pair-producing dedup ops): per doc,
+    * the share of its DISTINCT 8-grams that occur in at least one
+    * OTHER document. Grams are distinct'd inside the projection
+    * (array_distinct before explode) so df counts documents, not
+    * occurrences; one vocabulary-keyed hash-agg builds df and one
+    * doc-keyed agg folds the share — the only shuffles carry
+    * (doc_id, gram) pairs, never document bodies. At 100 TB the gram
+    * string would be replaced by xxhash64(gram) for the df pass (the
+    * share only needs equality); the string form here is the oracle
+    * parity contract. Flag threshold is integer (5·dup > total). */
+  def qNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 8)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), size($"t") - 7),
+        i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
+    val df = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+    g.join(df, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n8"),
+        sum(($"df" > 1).cast("long")).as("dup8"))
+      .select($"doc_id", $"n8", $"dup8",
+        round($"dup8".cast("double") / $"n8", 6).as("dup_share"),
+        ($"dup8" * 5 > $"n8").cast("int").as("flagged"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L27 — deterministic train/val/test split assignment: the 3-way
+    * sibling of q_hash_sample's keep-filter. A doc's split is a pure
+    * function of its id (SHA-256 u16 against 80/10/10 thresholds) —
+    * stable across engines, runs, partitionings, and corpus growth
+    * (adding docs never moves an existing one between splits, which
+    * a modulo-on-row-number scheme cannot promise). Zero shuffles:
+    * the assignment is a projection; the trailing sort is only the
+    * oracle's determinism contract. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
+          .cast("long").as("u16"))
+      .select($"doc_id", $"lang",
+        when($"u16" < 0.8 * 65536, "train")
+          .when($"u16" < 0.9 * 65536, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L28 — vocabulary growth (Heaps-law curve) per source: how many
+    * NEW tokens each document introduces to its source's stream, and
+    * the running vocabulary size. Two hash-aggs (token→first doc,
+    * then doc→new-token count) shrink the data to vocabulary
+    * cardinality BEFORE the window; the running sum is partitioned by
+    * source, so no single-partition global window exists at any
+    * scale — each source's curve accumulates independently, exactly
+    * how a per-domain ingest monitor would run it. All integers. */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"first_doc".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .groupBy($"source", $"tok").agg(min($"doc_id").as("first_doc"))
+      .groupBy($"source", $"first_doc").agg(count(lit(1)).as("new_toks"))
+      .withColumn("vocab_size", sum($"new_toks").over(w))
+      .select($"source", $"first_doc".as("doc_id"), $"new_toks", $"vocab_size")
+      .orderBy($"source".asc_nulls_first, $"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ngram_coverage" -> (qNgramCoverage _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -261,6 +337,48 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |    FROM tok WHERE len(t) >= 8)),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n8,
+        |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup8,
+        |  round(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_share,
+        |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 5 > count(*)
+        |    AS INT) AS flagged
+        |FROM g JOIN df ON g.gram = df.gram
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN u16 < 0.8 * 65536 THEN 'train'
+        |       WHEN u16 < 0.9 * 65536 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) AS u16 FROM documents)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT DISTINCT source, doc_id, tok FROM (
+        |  SELECT source, doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents)),
+        |fst AS (SELECT source, tok, min(doc_id) AS first_doc
+        |  FROM t GROUP BY source, tok),
+        |per AS (SELECT source, first_doc, count(*) AS new_toks
+        |  FROM fst GROUP BY source, first_doc)
+        |SELECT source, first_doc AS doc_id, new_toks,
+        |  CAST(sum(new_toks) OVER (PARTITION BY source
+        |    ORDER BY first_doc ASC ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS vocab_size
+        |FROM per
+        |ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),

@@ -151,6 +151,70 @@ class CorpusSpec extends SparkSuite with Matchers {
       (2L, 6L, 2L, 0.666667, 1))
   }
 
+  test("ngram coverage: cross-doc 8-gram dup share; intra-doc repeats don't self-count") {
+    import spark.implicits._
+    val dir = tmpTables("cov") { d =>
+      Seq(
+        // 9 tokens → grams {a..h, b..i}; a..h shared with doc 2 → 1/2
+        (1L, "a b c d e f g h i"),
+        // grams {a..h (shared), b..z (unique)} → 1/2, flagged (>0.2)
+        (2L, "a b c d e f g h z"),
+        // unique gram only → share 0
+        (3L, "p q r s t u v w"),
+        // 9 tokens of "x": both positional grams identical →
+        // array_distinct collapses to ONE gram, seen in no other doc —
+        // intra-doc repetition must NOT count as cross-doc duplication
+        (4L, "x x x x x x x x x"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qNgramCoverage(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, 2L, 1L, 0.5, 1),
+      (2L, 2L, 1L, 0.5, 1),
+      (3L, 1L, 0L, 0.0, 0),
+      (4L, 1L, 0L, 0.0, 0))
+  }
+
+  test("split assign: growth-stable — adding docs never moves existing ones") {
+    import spark.implicits._
+    def write(n: Int): String = tmpTables(s"split$n") { d =>
+      (0L until n.toLong).map(i => (i, "en"))
+        .toDF("doc_id", "lang").write.parquet(s"$d/documents.parquet")
+    }
+    val small = Corpus.qSplitAssign(spark, write(100))
+      .as[(Long, String, String)].collect().toMap2
+    val grown = Corpus.qSplitAssign(spark, write(300))
+      .as[(Long, String, String)].collect().toMap2
+    small.keys.foreach { id => grown(id) shouldBe small(id) }
+    // all three splits actually occur, roughly 80/10/10
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train") should be > counts("val")
+    counts("train") should be > counts("test")
+    counts.keySet shouldBe Set("train", "val", "test")
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, String, String)]) {
+    def toMap2: Map[Long, String] = rows.map(r => r._1 -> r._3).toMap
+  }
+
+  test("vocab growth: per-source running vocabulary; no row for no-new-token docs") {
+    import spark.implicits._
+    val dir = tmpTables("vocab") { d =>
+      Seq(
+        (1L, "a b", "s1"), (2L, "b c", "s1"), (3L, "a c", "s1"),
+        (4L, "z", "s2"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qVocabGrowth(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      ("s1", 1L, 2L, 2L),  // a, b new → vocab 2
+      ("s1", 2L, 1L, 3L),  // c new → vocab 3; doc 3 introduces nothing
+      ("s2", 4L, 1L, 1L))
+  }
+
   test("sequence generator emits k rows per input row, 1-based") {
     import spark.implicits._
     val dir = tmpTables("seq") { d =>
