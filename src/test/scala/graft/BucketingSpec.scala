@@ -50,4 +50,41 @@ class BucketingSpec extends SparkSuite with Matchers {
       .count()
     joined.count() shouldBe expected
   }
+
+  /** §4.3 runtime row-level filtering: when a shuffle join's build
+    * side carries a selective predicate, Catalyst injects a bloom
+    * filter built from the dim keys INTO THE FACT SCAN — at 100 TB
+    * the fact side drops non-joining rows at the scan instead of
+    * shuffling them. Local thresholds are tuned so the rule fires at
+    * toy SF (the application side must normally scan ≥ 10 GB). */
+  test("runtime bloom filter: selective dim predicate prefilters the fact side") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      val dim = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+      val opt = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(opt.contains("might_contain"),
+        s"expected an injected bloom filter probe in:\n$opt")
+      // the probe must sit on the FACT side, fed by an agg over dim keys
+      assert(opt.contains("bloom_filter_agg"), "expected the builder agg")
+      // and rows are exactly the unfiltered-join rows (bloom is a
+      // may-contain prefilter; the join still decides membership)
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+          .filter($"o_orderpriority" === "1-URGENT"), $"l_orderkey" === $"o_orderkey")
+      joined.count() shouldBe expected.count()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
