@@ -25,4 +25,39 @@ class SkewSpec extends SparkSuite with Matchers {
       }
     }
   }
+
+  /** The runtime half of the §4.3 doctrine: AQE detects a shuffle
+    * partition dominated by one hot key AFTER the map stage runs and
+    * splits it across tasks (skew=true on the join node) — no salting
+    * code, no plan change, same rows. Thresholds are lowered so the
+    * toy dataset trips the same detector a 100 TB hot key would. */
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying 50k wide rows, 100 cold keys with one row
+      val fact = spark.range(0, 50000)
+        .select(lit(0L).as("k"), concat(lit("x" * 64), $"id").as("payload"))
+        .union(spark.range(1, 101).select($"id".as("k"), lit("cold").as("payload")))
+      val dim = spark.range(0, 101).select($"id".as("k"), ($"id" * 7).as("attr"))
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS QueryExecution, so its adaptive plan is
+      // final afterwards (count() would execute a different plan tree)
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$plan")
+      n shouldBe 50100
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
