@@ -439,6 +439,69 @@ object Analytics {
     * input row inside the projection — no shuffle, no driver loop;
     * the 100 TB analog of "generate retry slots / date spines".
     * Bounded input keeps the oracle dump small. */
+  /** A2+ — ordered funnel conversion (view → click → purchase):
+    * a user converts at stage k iff the FIRST occurrences of the
+    * stages are in order (min-ts comparison — strictly ordered,
+    * null-safe: a missing stage compares null and drops out). Two
+    * hash-aggs, no self-join, no window: the per-user conditional
+    * mins reduce 100 TB of events to one row per user map-side, the
+    * global fold is 3 counters. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+      .agg(
+        sum($"t_view".isNotNull.cast("long")).as("n_view"),
+        sum(($"t_view" < $"t_click").cast("long")).as("n_view_click"),
+        sum(($"t_view" < $"t_click" && $"t_click" < $"t_buy").cast("long"))
+          .as("n_view_click_buy"))
+  }
+
+  /** A2+J7+ — weekly cohort retention: users active in week w who
+    * are also active in week w+1. distinct (user, week) first — the
+    * self-join and both aggs run on user-week cardinality, never raw
+    * events; the join key is (user_id, week) so one shuffle
+    * co-locates a user's adjacent weeks. Week truncation is ISO
+    * Monday on both engines; date_add is integer day math. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .distinct()
+    val act = w.groupBy($"wk").agg(count(lit(1)).as("active"))
+    val ret = w.alias("a")
+      .join(w.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.wk") === date_add(col("a.wk"), 7))
+      .groupBy(col("a.wk").as("wk")).agg(count(lit(1)).as("retained"))
+    act.join(ret, Seq("wk"), "left")
+      .select($"wk", $"active", coalesce($"retained", lit(0L)).as("retained"))
+      .orderBy($"wk".asc_nulls_first)
+  }
+
+  /** W5+ — deterministic per-group sample ("reservoir" without RNG):
+    * the k=5 events whose md5(event_id) sorts lowest per event_type —
+    * a uniform, reproducible, engine-independent without-replacement
+    * sample (same contract as q_hash_sample, but per group with an
+    * exact k). The window sorts within each group's partition; at
+    * 100 TB the two-phase form (per-partition top-k heap, then global
+    * top-k — q_topk's TakeOrderedAndProject shape per key) replaces
+    * the full sort. */
+  def qGroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"event_type".asc_nulls_first, $"rk".asc_nulls_first)
+  }
+
   def qSequence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -595,6 +658,9 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_group_sample" -> (qGroupSample _),
     "q_rank_dist" -> (qRankDist _),
     "q_min_cost_supplier" -> (qMinCostSupplier _),
     "q_forecast_revenue" -> (qForecastRevenue _),
@@ -625,6 +691,44 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view,
+        |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_buy
+        |FROM f""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |act AS (SELECT wk, count(*) AS active FROM w GROUP BY wk),
+        |ret AS (SELECT a.wk, count(*) AS retained
+        |  FROM w a JOIN w b
+        |    ON a.user_id = b.user_id AND b.wk = a.wk + 7
+        |  GROUP BY a.wk)
+        |SELECT act.wk, act.active,
+        |  coalesce(ret.retained, 0) AS retained
+        |FROM act LEFT JOIN ret ON act.wk = ret.wk
+        |ORDER BY act.wk ASC NULLS FIRST""".stripMargin,
+    "q_group_sample" ->
+      """SELECT event_id, event_type, rk FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC) AS rk
+        |  FROM events)
+        |WHERE rk <= 5
+        |ORDER BY event_type ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "q_min_cost_supplier" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,
