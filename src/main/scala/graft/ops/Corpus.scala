@@ -321,7 +321,40 @@ object Corpus {
       .orderBy($"source".asc_nulls_first, $"doc_id".asc_nulls_first)
   }
 
+  /** L29 — corpus-level boilerplate removal (the C4/RefinedWeb "line
+    * seen elsewhere in the corpus" dedup rule; this corpus has no
+    * line/sentence structure, so the removal unit is a stride-8 token
+    * SEGMENT): a segment whose exact text occurs in ≥ 2 DISTINCT
+    * documents is boilerplate; drop it everywhere and reassemble each
+    * document from its surviving segments in original order. Scale
+    * shape: the cross-doc frequency table is keyed on
+    * sha256(segment) — the shuffle carries 32-byte hashes + doc ids,
+    * never bodies — and it joins back by plain shuffle hash join (a
+    * per-segment aggregate is corpus-sized: NEVER broadcast, the L2
+    * lesson). Bodies are shuffled exactly once, on doc_id, for the
+    * ordered reassembly. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), ((size($"t") + 7) / 8).cast("int") - 1),
+        i => array_join(slice($"t", i * 8 + 1, lit(8)), " "))).as(Seq("idx", "seg")))
+      .withColumn("h", sha2($"seg", 256))
+    val freq = segs.groupBy($"h").agg(countDistinct($"doc_id").as("ndocs"))
+    segs.join(freq, "h")
+      .withColumn("keep", $"ndocs" < 2)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum($"keep".cast("long")).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(idx, seg) END)), e -> e.seg)"))
+          .as("clean"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate" -> (qBoilerplate _),
     "q_ngram_coverage" -> (qNgramCoverage _),
     "q_split_assign" -> (qSplitAssign _),
     "q_vocab_growth" -> (qVocabGrowth _),
@@ -337,6 +370,23 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """WITH a AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS arr
+        |  FROM documents),
+        |e AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(arr, 8 * i + 1, 8 * i + 8), ' ') AS seg
+        |  FROM a, UNNEST(generate_series(0,
+        |    CAST(ceil(len(arr) / 8.0) AS BIGINT) - 1)) AS t(i)),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM e GROUP BY seg),
+        |k AS (SELECT e.doc_id, e.i, e.seg, (df.ndocs < 2) AS keep
+        |  FROM e JOIN df USING (seg))
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY i),
+        |    '') AS clean
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_ngram_coverage" ->
       """WITH tok AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),

@@ -89,6 +89,54 @@ object Similarity {
       .orderBy($"va".asc_nulls_first, $"vb".asc_nulls_first)
   }
 
+  /** L12 search path, multiprobe — IVF with nprobe=2: rank the index
+    * cells by (squared) centroid distance per query and probe the two
+    * nearest, then exact re-rank inside the probed cells. Single-probe
+    * IVF (q_ann_ivf) misses true neighbors that sit just across a cell
+    * boundary; multiprobe is the standard recall knob — cost grows
+    * linearly in nprobe while the scanned corpus stays
+    * nprobe/k of the whole. Plan shape: the centroid table is k rows
+    * (broadcast — tiny at any corpus scale), the probe list is
+    * queries×nprobe rows (broadcast), and the corpus-side join is a
+    * hash join on the cell label — never a nested-loop scan of
+    * every (query, vector) pair. Determinism: centroids and distances
+    * round to 4dp before the argmin (ties → lower label), matching
+    * the oracle's formulation exactly. */
+  def qAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    // index build: per-cell centroid as a rounded double vector
+    val cents = base
+      .select($"label", posexplode($"vec").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("p_label"),
+        expr("transform(pc, e -> e.c)").as("cvec"))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"vec".as("qv"), $"nrm".as("qn"))
+    // probe list: the 2 nearest cells per query by squared distance
+    // |q−c|² = q·q − 2 q·c + c·c (codegen'd graft_dot, no explode)
+    val wp = Window.partitionBy($"q_id").orderBy($"pdist".asc, $"p_label".asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pdist", round(
+        expr("graft_dot(qv, qv)") - lit(2.0) * expr("graft_dot(qv, cvec)")
+          + expr("graft_dot(cvec, cvec)"), 4))
+      .withColumn("prk", row_number().over(wp))
+      .filter($"prk" <= 2)
+      .select($"q_id", $"qv", $"qn", $"p_label")
+    val c = base.select($"vec_id".as("c_id"), $"label",
+      $"vec".as("cv"), $"nrm".as("cn"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    c.join(broadcast(probes), $"label" === $"p_label" && $"c_id" =!= $"q_id")
+      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"c_id", $"rnk", $"sim")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
   /** L12's index-BUILD step — per-cell centroids: element-wise mean
     * of every cell's vectors, one (label, pos, mean) row per
     * dimension. posexplode(64-dim) then hash-agg on (label, pos):
@@ -152,6 +200,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_multiprobe" -> (qAnnMultiprobe _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_centroids" -> (qCentroids _),
   )
@@ -184,6 +233,40 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> oracleCosine(""),
     "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
+    "q_ann_multiprobe" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pe GROUP BY vec_id),
+        |cent AS (SELECT label AS p_label, i, round(avg(x), 4) AS c
+        |  FROM pe GROUP BY label, i),
+        |qv AS (SELECT vec_id AS q_id, i, x FROM pe WHERE vec_id < 5),
+        |qq AS (SELECT q_id, sum(x * x) AS vv FROM qv GROUP BY q_id),
+        |ccs AS (SELECT p_label, sum(c * c) AS cc FROM cent GROUP BY p_label),
+        |qc AS (SELECT q.q_id, c.p_label, sum(q.x * c.c) AS qc
+        |  FROM qv q JOIN cent c ON q.i = c.i GROUP BY q.q_id, c.p_label),
+        |pd AS (SELECT qc.q_id, qc.p_label,
+        |    round(qq.vv - 2 * qc.qc + ccs.cc, 4) AS pdist
+        |  FROM qc JOIN qq USING (q_id) JOIN ccs USING (p_label)),
+        |pr AS (SELECT q_id, p_label, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY pdist ASC, p_label ASC) AS prk
+        |  FROM pd),
+        |probes AS (SELECT q_id, p_label FROM pr WHERE prk <= 2),
+        |d AS (SELECT p.q_id, c.vec_id AS c_id, sum(q.x * c.x) AS dot
+        |  FROM probes p
+        |  JOIN pe c ON c.label = p.p_label
+        |  JOIN pe q ON q.vec_id = p.q_id AND q.i = c.i
+        |  WHERE c.vec_id <> p.q_id
+        |  GROUP BY p.q_id, c.vec_id),
+        |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+        |  FROM d JOIN norms nq ON q_id = nq.vec_id
+        |  JOIN norms nc ON c_id = nc.vec_id),
+        |r AS (SELECT q_id, c_id, sim, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+        |  FROM s)
+        |SELECT q_id, c_id, rnk, sim FROM r WHERE rnk <= 3
+        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
     "q_embed_neardup" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

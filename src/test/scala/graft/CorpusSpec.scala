@@ -176,6 +176,25 @@ class CorpusSpec extends SparkSuite with Matchers {
       (4L, 1L, 0L, 0.0, 0))
   }
 
+  test("boilerplate: a segment shared by two docs is dropped from both; ragged tails survive") {
+    import spark.implicits._
+    // docs 1 and 2 share their first 8 tokens exactly (the boilerplate
+    // header); each has a distinct tail shorter than 8 tokens — the
+    // ragged final segment must be kept, not truncated away.
+    val header = (1 to 8).map(i => s"h$i").mkString(" ")
+    val dir = tmpTables("boiler") { d =>
+      Seq((1L, s"$header tail one"), (2L, s"$header tail two"),
+        (3L, "fully original text"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qBoilerplate(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    rows shouldBe Seq(
+      (1L, 2L, 1L, "tail one"),   // header segment dropped, ragged tail kept
+      (2L, 2L, 1L, "tail two"),
+      (3L, 1L, 1L, "fully original text"))
+  }
+
   test("split assign: growth-stable — adding docs never moves existing ones") {
     import spark.implicits._
     def write(n: Int): String = tmpTables(s"split$n") { d =>

@@ -51,11 +51,26 @@ class OpsSpec extends SparkSuite with Matchers {
         case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
       }.isDefined
     }
+    // Second admitted shape: a BNLJ whose build side aggregates the
+    // corpus down to the cell label (the k-row IVF centroid table —
+    // bounded by the index parameter k, never by corpus size). Used by
+    // q_ann_multiprobe's query×centroid cell-ranking step.
+    def centroidBuildSide(j: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      build.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.toString.contains("label")) => a
+      }.isDefined
+    }
     val bnlj = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val exec = unwrap(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       withClue(name)(exec.toString should not include "CartesianProduct")
       val loops = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
-      if (loops.exists(j => !scalarBuildSide(j))) Some(name) else None
+      if (loops.exists(j => !scalarBuildSide(j) && !centroidBuildSide(j)))
+        Some(name) else None
     }
     bnlj shouldBe Seq("q_cosine_topk") // broadcast query set × corpus, by design
   }
@@ -215,6 +230,24 @@ class OpsSpec extends SparkSuite with Matchers {
     // brute-force cosine has no equi key by design — BNLJ against the
     // broadcast query set is the intended (and only) nested-loop plan
     planOf(Similarity.qCosineTopk(spark, sf)) should include("BroadcastNestedLoopJoin")
+  }
+
+  test("multiprobe ANN: corpus join is a BHJ on the cell key; recall >= single-probe") {
+    import spark.implicits._
+    // plan: the corpus-side join must hash on label — the only BNLJ
+    // allowed is the query×centroid cell ranking (k-row build side)
+    val plan = planOf(Similarity.qAnnMultiprobe(spark, sf))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // recall@3 vs the exact top-3: probing 2 cells can only widen the
+    // candidate pool vs probing the label cell — the reason multiprobe
+    // exists. (Deterministic on the fixed sf0.001 corpus.)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.qCosineTopk(spark, sf))
+    val single = hits(Similarity.qAnnIvf(spark, sf))
+    val multi = hits(Similarity.qAnnMultiprobe(spark, sf))
+    (multi intersect exact).size should be >= (single intersect exact).size
   }
 
   test("ship-priority pushes both date filters to the scans and plans top-k") {
