@@ -307,6 +307,39 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L6+ — signature-space Jaccard ESTIMATION: the fraction of 16
+    * salted min-hashes two docs agree on is an unbiased estimate of
+    * their Jaccard (the MinHash theorem), so candidate pairs from the
+    * band join get a dedup score WITHOUT ever touching document
+    * bodies — at 100 TB the bodies stay in cold storage and the whole
+    * dedup (candidates + scores + keeper choice) runs on the
+    * signature table alone: one narrow shuffle on the band key. The
+    * first 4 salts are q_minhash_sig's, so the band key — and thus
+    * the candidate set — is identical to q_minhash_dedup's. Estimates
+    * are exact multiples of 1/16: no float drift across engines.
+    * (Production note: store 64-bit truncations of the digests, not
+    * hex strings — same mins, 8× narrower shuffle.) */
+  def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mh(i: Int): Column =
+      min(sha2(concat(lit(i + ":"), $"tok"), 256)).as(s"m$i")
+    val sig = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .groupBy($"doc_id")
+      .agg(mh(0), (1 until 16).map(mh): _*)
+      .withColumn("band",
+        substring(sha2(concat($"m0", $"m1", $"m2", $"m3"), 256), 1, 16))
+    val matches = (0 until 16)
+      .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
+      .reduce(_ + _)
+    sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        round(matches.cast("double") / 16, 4).as("est_jaccard"))
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
   /** L2 — near-dup by BIGRAM-SHINGLE Jaccard (order-sensitive,
     * catches reorderings that token-set Jaccard misses): shingles via
     * zip-with-next over the token array, then the same blocked
@@ -535,6 +568,7 @@ object Text {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
@@ -665,6 +699,22 @@ object Text {
         |  substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
         |FROM sig
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_minhash_est" -> {
+      val mins = (0 until 16)
+        .map(i => s"min(sha256('$i:' || tok)) AS m$i").mkString(", ")
+      val eqs = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+         |  FROM documents),
+         |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
+         |sb AS (SELECT *, substring(sha256(m0 || m1 || m2 || m3), 1, 16) AS band
+         |  FROM s)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  round(($eqs) / 16.0, 4) AS est_jaccard
+         |FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin
+    },
     "q_minhash_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

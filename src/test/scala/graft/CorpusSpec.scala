@@ -195,6 +195,21 @@ class CorpusSpec extends SparkSuite with Matchers {
       (3L, 1L, 1L, "fully original text"))
   }
 
+  test("minhash estimate: identical docs collide with est 1.0; disjoint docs never pair") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = tmpTables("mhest") { d =>
+      Seq((1L, shared), (2L, shared),
+        (3L, (1 to 20).map(i => s"z$i").mkString(" ")))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = graft.ops.Text.qMinhashEst(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical token sets → identical signatures → same band, all 16
+    // hashes agree; the disjoint doc shares no band with either
+    rows shouldBe Seq((1L, 2L, 1.0))
+  }
+
   test("split assign: growth-stable — adding docs never moves existing ones") {
     import spark.implicits._
     def write(n: Int): String = tmpTables(s"split$n") { d =>
