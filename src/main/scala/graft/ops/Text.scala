@@ -317,18 +317,35 @@ object Text {
     * first 4 salts are q_minhash_sig's, so the band key — and thus
     * the candidate set — is identical to q_minhash_dedup's. Estimates
     * are exact multiples of 1/16: no float drift across engines.
-    * (Production note: store 64-bit truncations of the digests, not
-    * hex strings — same mins, 8× narrower shuffle.) */
+    * The 16 estimator hashes are a DERIVED affine family — ONE
+    * sha256 per token yields a 28-bit base integer x, and
+    * h_i = (a_i·x + b_i) mod 1e9+7 gives 16 independent-enough
+    * permutations for the price of one digest (16 separate salted
+    * digests cost 16 MessageDigest rounds per token row — the
+    * dominant cost at sf0.1 — and production MinHash derives its
+    * permutation family the same way). Integer mins also keep the
+    * self-join rows 8 bytes per hash; this corpus has a 2 272-doc
+    * band cluster whose quadratic pair fan-out is one task's work,
+    * so row width matters. The band stays derived from the 4 salted
+    * full-digest mins — candidate-set parity with q_minhash_dedup. */
   def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    def sh(i: Int): Column =
+      min(sha2(concat(lit(i + ":"), $"tok"), 256)).as(s"s$i")
     def mh(i: Int): Column =
-      min(sha2(concat(lit(i + ":"), $"tok"), 256)).as(s"m$i")
+      min((lit(1000003L + 7919L * i) * $"x" + lit(7907L * i + 13L))
+        % lit(1000000007L)).as(s"m$i")
     val sig = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      // one digest per token; 28-bit base keeps a_i·x < 2^59 (ANSI-safe)
+      .withColumn("x", conv(substring(sha2($"tok", 256), 1, 7), 16, 10)
+        .cast("long"))
       .groupBy($"doc_id")
-      .agg(mh(0), (1 until 16).map(mh): _*)
+      .agg(sh(0), Seq(1, 2, 3).map(sh) ++ (0 until 16).map(mh): _*)
       .withColumn("band",
-        substring(sha2(concat($"m0", $"m1", $"m2", $"m3"), 256), 1, 16))
+        substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
+      .select($"doc_id" +: $"band" +:
+        (0 until 16).map(i => col(s"m$i")): _*)
     val matches = (0 until 16)
       .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
       .reduce(_ + _)
@@ -700,15 +717,23 @@ object Text {
         |FROM sig
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_minhash_est" -> {
+      val salted = (0 until 4)
+        .map(i => s"min(sha256('$i:' || tok)) AS s$i").mkString(", ")
       val mins = (0 until 16)
-        .map(i => s"min(sha256('$i:' || tok)) AS m$i").mkString(", ")
+        .map(i => s"min((${1000003L + 7919L * i} * x + ${7907L * i + 13L})" +
+          s" % 1000000007) AS m$i").mkString(", ")
       val eqs = (0 until 16)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH t AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
          |  FROM documents),
-         |s AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
-         |sb AS (SELECT *, substring(sha256(m0 || m1 || m2 || m3), 1, 16) AS band
+         |tx AS (SELECT doc_id, tok,
+         |    CAST(('0x' || substr(sha256(tok), 1, 7)) AS BIGINT) AS x
+         |  FROM t),
+         |s AS (SELECT doc_id, $salted, $mins FROM tx GROUP BY doc_id),
+         |sb AS (SELECT doc_id,
+         |    substring(sha256(s0 || s1 || s2 || s3), 1, 16) AS band,
+         |    ${(0 until 16).map(i => s"m$i").mkString(", ")}
          |  FROM s)
          |SELECT a.doc_id AS da, b.doc_id AS db,
          |  round(($eqs) / 16.0, 4) AS est_jaccard
