@@ -179,6 +179,17 @@ class OpsSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("boilerplate frequency join is never hint-forced to broadcast (100 TB safety)") {
+    // the per-segment frequency table is corpus-sized at scale — same
+    // class as the jaccard `sizes` pin above: with auto-broadcast off
+    // the plan must contain NO BroadcastExchange.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      planOf(Corpus.qBoilerplate(spark, sf)) should not include "BroadcastExchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("LSH banded join recovers every near-dup pair that shares a band") {
     import spark.implicits._
     val band = Text.qMinhashSig(spark, sf)
