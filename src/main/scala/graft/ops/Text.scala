@@ -515,16 +515,43 @@ object Text {
     // cache the PAIRS, not the union: the two union branches are
     // separate plan subtrees, so an uncached union would run the
     // banded self-join twice during materialization
+    val tInit = System.nanoTime()
+    // The per-round plans are tiny (label-pair tables, ≤ graph-node
+    // cardinality after init): AQE re-planning and whole-stage codegen
+    // compilation dominate each round's DRIVER-side cost (~1.3 s/round
+    // measured vs 0.07 s of execution). Both off for the loop only —
+    // at any scale the iteration's joins hash on v/lbl with fixed
+    // shuffle width, which needs neither. Restored in the finally.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // Cache the EDGES partitioned AND sorted on the probe key: every
+    // round joins edges ⋈ labels on src, and a cached partitioning +
+    // ordering satisfies the sort-merge join's requirements on the big
+    // side — so per round only the label table (graph-node
+    // cardinality) shuffles, never the edge set. This is the bucketed-
+    // fact-table pattern applied to iteration state; at 100 TB the
+    // edges would be a bucketed table on disk, same plan. (AQE is off
+    // for the loop: its per-materialization re-planning costs more on
+    // the driver than these fixed-shape tiny-side shuffles ever save.)
+    // pairs cached too: the union's two branches are separate plan
+    // subtrees — uncached, the banded self-join would run twice
     val pairs = simhashPairs(spark, dir).select($"da", $"db").cache()
     val edges = pairs.union(pairs.select($"db", $"da"))
       .toDF("src", "dst")
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .cache()
     var labels = edges.select($"src".as("v")).distinct()
       .withColumn("lbl", $"v")
       .localCheckpoint()
+    if (sys.props.contains("graft.cc.debug"))
+      println(f"[cc] init ${(System.nanoTime() - tInit) / 1e9}%.2fs")
     var sumPrev = Option.empty[BigDecimal]
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
+      val tBody = System.nanoTime()
       val prop = edges.join(labels, $"src" === $"v")
         .groupBy($"dst").agg(min($"lbl").as("nlbl"))
       val stepped = labels.join(prop, $"v" === $"dst", "left")
@@ -543,14 +570,23 @@ object Text {
       // convergence: labels only decrease, so the label sum strictly
       // decreases until fixpoint — one agg, no compare-join. Decimal
       // sum so huge doc_id domains cannot overflow the check.
+      val t0 = System.nanoTime()
       val s = next.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
+      if (sys.props.contains("graft.cc.debug"))
+        println(f"[cc] round $rounds%d build ${(t0 - tBody) / 1e9}%.2fs agg ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
       converged = sumPrev.contains(BigDecimal(s))
       sumPrev = Some(BigDecimal(s))
       labels = next
       rounds += 1
     }
+    edges.unpersist()
     pairs.unpersist()
+    if (sys.props.contains("graft.cc.debug"))
+      println(f"[cc] clusterLabels total ${(System.nanoTime() - tInit) / 1e9}%.2fs")
     labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
   }
 
   /** L19 consumer — the dedup DECISION: one surviving document per
