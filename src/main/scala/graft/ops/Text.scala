@@ -346,6 +346,12 @@ object Text {
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
       .select($"doc_id" +: $"band" +:
         (0 until 16).map(i => col(s"m$i")): _*)
+      // lazy checkpoint: the self-join's two branches share one
+      // materialization of the signature table (the broadcast side
+      // cannot reuse the streamed side's exchange), halving the
+      // 5-digest agg pass; ContextCleaner reclaims the RDD when the
+      // plan is released
+      .localCheckpoint(eager = false)
     val matches = (0 until 16)
       .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
       .reduce(_ + _)
