@@ -140,6 +140,50 @@ object Analytics {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** A8+J1 — z-score outlier detection per event type: events whose
+    * value sits more than 3 sample standard deviations from their
+    * type's mean. The per-type (mean, stddev) table is a TRUE
+    * dimension (one row per event type) — aggregate first, broadcast
+    * back, filter; never a corpus-wide window. z is rounded at 4dp
+    * AFTER the identical (value−μ)/σ expression on both engines, and
+    * the outlier gate compares the ROUNDED z so engine-ulp drift in
+    * μ/σ cannot flip a boundary row; ORDER BY is integer keys only. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.events(spark, dir)
+      .groupBy($"event_type".as("s_type"))
+      .agg(avg($"value").as("mu"), stddev_samp($"value").as("sigma"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), $"event_type" === $"s_type")
+      .withColumn("z", round(($"value" - $"mu") / $"sigma", 4))
+      .filter(abs($"z") > 3)
+      .select($"event_id", $"event_type", $"value", $"z")
+      .orderBy($"event_type".asc_nulls_first, $"event_id".asc_nulls_first)
+  }
+
+  /** A1+J1 — equi-width histogram of `value` per event type (the
+    * data-profiling pass a 100 TB ingest runs before choosing
+    * partitioning/clustering keys): min/max first as a per-type
+    * dimension (one row per type — broadcast), then bin =
+    * floor((v−min)/width) clamped to 10 bins, count per bin. Two
+    * aggregate passes, no window, no sort of the fact table; bin ids
+    * are integers from DOUBLE math identical on both engines (width
+    * division, floor) so the histogram is exact, not approximate. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.events(spark, dir)
+      .groupBy($"event_type".as("s_type"))
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), $"event_type" === $"s_type")
+      .withColumn("bin",
+        least(floor(($"value" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9L))
+          .cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type".asc_nulls_first, $"bin".asc_nulls_first)
+  }
+
   /** J7+A2 — large-volume orders (TPC-H Q18 shape): HAVING-filtered
     * aggregate as a join input — lineitem pre-aggregated per order,
     * thresholded, then joined back to orders+customer. The aggregate
@@ -674,6 +718,8 @@ object Analytics {
     "q_cust_distribution" -> (qCustDistribution _),
     "q_order_priority" -> (qOrderPriority _),
     "q_bit_agg" -> (qBitAgg _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_histogram" -> (qHistogram _),
     "q_regr" -> (qRegr _),
     "q_sequence" -> (qSequence _),
     "q_big_spenders" -> (qBigSpenders _),
@@ -861,6 +907,26 @@ object Analytics {
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_histogram" ->
+      """WITH stats AS (SELECT event_type AS s_type,
+        |    min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
+        |    AS bin,
+        |  count(*) AS n
+        |FROM events JOIN stats ON event_type = s_type
+        |GROUP BY event_type, bin
+        |ORDER BY event_type ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin,
+    "q_anomaly" ->
+      """WITH stats AS (SELECT event_type AS s_type,
+        |    avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  round((value - mu) / sigma, 4) AS z
+        |FROM events JOIN stats ON event_type = s_type
+        |WHERE abs(round((value - mu) / sigma, 4)) > 3
+        |ORDER BY event_type ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "q_bit_agg" ->
       """SELECT user_id,
         |  bit_and(event_id) AS id_and,
