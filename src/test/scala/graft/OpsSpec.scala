@@ -65,9 +65,14 @@ class OpsSpec extends SparkSuite with Matchers {
           a.groupingExpressions.forall(_.toString.contains("label")) => a
       }.isDefined
     }
+    import org.apache.spark.sql.execution.window.WindowExec
     val bnlj = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val exec = unwrap(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       withClue(name)(exec.toString should not include "CartesianProduct")
+      // 100 TB window doctrine: an UNPARTITIONED window serializes the
+      // whole input through one task — no query may plan one
+      exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach(w => fail(s"$name plans an unpartitioned window: $w"))
       val loops = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
       if (loops.exists(j => !scalarBuildSide(j) && !centroidBuildSide(j)))
         Some(name) else None
