@@ -193,6 +193,50 @@ object Windows {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** J9+ — NEAREST-direction as-of (pandas merge_asof
+    * direction='nearest'): each probe matched to the closest anchor
+    * in EITHER direction per key, ties to the earlier anchor. Same
+    * union-both-sides shape as q_asof_join with two window passes
+    * over one shuffle — `last(ignoreNulls)` carries the
+    * at-or-before anchor forward, `first(ignoreNulls)` over the
+    * mirrored frame carries the at-or-after anchor backward — then a
+    * branchless min-gap pick. Still no correlated scans, still one
+    * exchange on the key. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros($"ts"))
+    val probes = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts_us",
+        lit(1).as("kind"), lit(null).cast("long").as("a_ts"),
+        lit(null).cast("double").as("a_value"))
+    val anchors = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"value").as("a_value"))
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts_us",
+        lit(0).as("kind"), $"ts_us".as("a_ts"), $"a_value")
+    // backward pass: anchors sort BEFORE a same-ts probe → inclusive
+    val wb = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"kind".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // forward pass: probe first at equal ts (kind desc) → inclusive
+    val wf = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"kind".desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val both = probes.unionByName(anchors)
+      .withColumn("b_ts", last($"a_ts", ignoreNulls = true).over(wb))
+      .withColumn("b_value", last($"a_value", ignoreNulls = true).over(wb))
+      .withColumn("f_ts", first($"a_ts", ignoreNulls = true).over(wf))
+      .withColumn("f_value", first($"a_value", ignoreNulls = true).over(wf))
+      .filter($"kind" === 1)
+    val pickB = $"f_ts".isNull ||
+      ($"b_ts".isNotNull && ($"ts_us" - $"b_ts") <= ($"f_ts" - $"ts_us"))
+    both
+      .select($"event_id", $"user_id", $"ts_us",
+        when(pickB, $"b_ts").otherwise($"f_ts").as("m_ts"),
+        round(when(pickB, $"b_value").otherwise($"f_value"), 6).as("m_value"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_row_number" -> (qRowNumber _),
     "q_rank" -> (qRank _),
@@ -205,6 +249,7 @@ object Windows {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_date_trunc" -> (qDateTrunc _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_nearest" -> (qAsofNearest _),
   )
 
   /** DuckDB note: events.ts is TIMESTAMP_NS there; CAST(ts AS
@@ -309,6 +354,20 @@ object Windows {
         |    WHERE a.user_id = p.user_id AND a.ts_us =
         |      (SELECT max(a2.ts_us) FROM anchors a2
         |        WHERE a2.user_id = p.user_id AND a2.ts_us <= p.ts_us)), 6) AS m_value
+        |FROM probes p
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |probes AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'),
+        |anchors AS (SELECT user_id, ts_us, max(value) AS a_value
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT a.ts_us FROM anchors a WHERE a.user_id = p.user_id
+        |    ORDER BY abs(a.ts_us - p.ts_us) ASC, a.ts_us ASC LIMIT 1) AS m_ts,
+        |  round((SELECT a.a_value FROM anchors a WHERE a.user_id = p.user_id
+        |    ORDER BY abs(a.ts_us - p.ts_us) ASC, a.ts_us ASC LIMIT 1), 6)
+        |    AS m_value
         |FROM probes p
         |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
   )
