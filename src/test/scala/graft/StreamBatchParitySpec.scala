@@ -56,4 +56,39 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     streamed shouldBe batch
     streamed.size should be > 0
   }
+
+  test("exact-dedup agg: AvailableNow streaming run == batch run") {
+    import spark.implicits._
+    // q_exact_dedup's core: one aggregation → streamable as-is. THE
+    // pipeline claim: dedup over a live document feed is the same
+    // declarative code as the 100 TB batch backfill.
+    def dedup(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(sha2(lower(trim($"text")), 256).as("content_hash"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+    val batch = dedup(Tables.documents(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_par2_ck").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_par2_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val q = dedup(spark.readStream
+        .schema(Tables.documents(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName("parity_dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val streamed = spark.table("parity_dedup").collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size should be > 0
+  }
 }
