@@ -137,6 +137,47 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
   }
 
+  /** L32 — hyperplane-LSH ANN: the OTHER canonical dense-vector
+    * bucketing (IVF partitions by learned cells; sign-LSH partitions
+    * by fixed hyperplanes — no training pass, natural for streaming
+    * ingest). 8 deterministic sparse ternary hyperplanes
+    * w_j[i] = ((2j+3)·(i+1)) mod 3 − 1 ∈ {−1,0,1} (Achlioptas-style
+    * sparse random projection, seeded by arithmetic so both engines
+    * share the planes); bucket = the 8 projection sign bits packed
+    * into an int. Candidates = same-bucket pairs via ONE equi-join on
+    * the bucket key; exact cosine re-rank inside. Projections are
+    * rounded at 4dp BEFORE the sign so summation-order ulps cannot
+    * flip a bit. One agg pass computes all 8 projections (posexplode
+    * + hash-agg: map-side combine ships 8 partials per vector). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    def pj(j: Int): org.apache.spark.sql.Column =
+      sum($"x" * (((lit(2 * j + 3) * ($"i" + 1)) % 3) - 1).cast("double"))
+        .as(s"p$j")
+    val proj = base
+      .select($"vec_id", posexplode($"vec").as(Seq("i", "x")))
+      .groupBy($"vec_id")
+      .agg(pj(0), (1 until 8).map(pj): _*)
+    val bucketed = proj.select($"vec_id".as("b_id"),
+      (0 until 8).map(j => (round(col(s"p$j"), 4) >= 0).cast("int") * (1 << j))
+        .reduce(_ + _).as("bucket"))
+    val sigs = base.join(bucketed, $"vec_id" === $"b_id")
+      .select($"vec_id", $"bucket", $"vec", $"nrm")
+      .localCheckpoint(eager = false) // both join sides share one pass
+    val q = sigs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    sigs.select($"vec_id".as("c_id"), $"bucket", $"vec".as("cv"), $"nrm".as("cn"))
+      .join(broadcast(q), $"bucket" === $"q_bucket" && $"c_id" =!= $"q_id")
+      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"c_id", $"rnk", $"sim")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
   /** L12's index-BUILD step — per-cell centroids: element-wise mean
     * of every cell's vectors, one (label, pos, mean) row per
     * dimension. posexplode(64-dim) then hash-agg on (label, pos):
@@ -201,6 +242,7 @@ object Similarity {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
+    "q_ann_lsh" -> (qAnnLsh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_centroids" -> (qCentroids _),
   )
@@ -233,6 +275,35 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> oracleCosine(""),
     "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
+    "q_ann_lsh" -> {
+      val projs = (0 until 8)
+        .map(j => s"sum(x * (((${2 * j + 3} * i) % 3) - 1)) AS p$j")
+        .mkString(", ")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN round(p$j, 4) >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH pe AS (SELECT vec_id,
+         |    generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pe GROUP BY vec_id),
+         |pr AS (SELECT vec_id, $projs FROM pe GROUP BY vec_id),
+         |bk AS (SELECT vec_id, $bucket AS bucket FROM pr),
+         |d AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, sum(q.x * c.x) AS dot
+         |  FROM pe q JOIN pe c ON q.i = c.i
+         |  JOIN bk bq ON bq.vec_id = q.vec_id
+         |  JOIN bk bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+         |  FROM d JOIN norms nq ON q_id = nq.vec_id
+         |  JOIN norms nc ON c_id = nc.vec_id),
+         |r AS (SELECT q_id, c_id, sim, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+         |  FROM s)
+         |SELECT q_id, c_id, rnk, sim FROM r WHERE rnk <= 3
+         |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+    },
     "q_ann_multiprobe" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,
