@@ -54,6 +54,31 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first, $"term".asc_nulls_first)
   }
 
+  /** L33 — unigram-LM scoring (the perplexity quality filter with
+    * the LM trained BY the corpus itself): p(tok) from corpus
+    * occurrence counts, doc score = mean log p over its tokens —
+    * low-scoring docs are the OOV-heavy/garbled tail a perplexity
+    * filter drops. Plan: one vocabulary-keyed count agg (shuffle
+    * carries (token, count) — vocabulary cardinality), the corpus
+    * total as a scalar-broadcast, tokens re-joined to the vocab by
+    * plain shuffle hash join (a vocabulary table is corpus-derived —
+    * never hint-broadcast), one doc-keyed avg. ln of the identical
+    * double ratio on both engines, rounded at 6 AFTER the avg;
+    * ORDER BY integer doc_id only. */
+  def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    t.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log($"cnt".cast("double") / $"total"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(avg($"logp"), 6).as("avg_logp"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** L4+ — exact heavy hitters: tokens above 0.1% of all tokens.
     * Pure integer comparison (cnt * 1000 > total) against a broadcast
     * single-row total — deterministic at any scale; the approximate
@@ -355,6 +380,7 @@ object Corpus {
 
   val queries: Map[String, Q] = Map(
     "q_boilerplate" -> (qBoilerplate _),
+    "q_unigram_lm" -> (qUnigramLm _),
     "q_ngram_coverage" -> (qNgramCoverage _),
     "q_split_assign" -> (qSplitAssign _),
     "q_vocab_growth" -> (qVocabGrowth _),
@@ -370,6 +396,17 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(avg(ln(cnt / total)), 6) AS avg_logp
+        |FROM t JOIN v USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_boilerplate" ->
       """WITH a AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), ' +') AS arr
