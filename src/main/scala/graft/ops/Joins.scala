@@ -179,7 +179,33 @@ object Joins {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** J2+ — FULL OUTER reconciliation: per-key counts from two
+    * independent aggregates stitched so every key survives, with the
+    * match class named (both / left-only / right-only) — the audit
+    * query behind "did every order-holder emit events, and whose
+    * events have no account?". Both inputs aggregate BEFORE the join,
+    * so the full-outer shuffles key-cardinality row sets, never the
+    * fact tables; counts coalesce to 0 so downstream arithmetic never
+    * meets a null. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, dir)
+      .filter($"o_custkey" >= 100)
+      .groupBy($"o_custkey".as("key")).agg(count(lit(1)).as("n_orders"))
+    val b = Tables.events(spark, dir)
+      .groupBy($"user_id".as("key")).agg(count(lit(1)).as("n_events"))
+    a.join(b, Seq("key"), "full_outer")
+      .select($"key",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        when($"n_orders".isNotNull && $"n_events".isNotNull, "both")
+          .when($"n_events".isNull, "orders_only")
+          .otherwise("events_only").as("side"))
+      .orderBy($"key".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_full_outer" -> (qFullOuter _),
     "q_broadcast_join" -> (qBroadcastJoin _),
     "q_left_join_coalesce" -> (qLeftJoinCoalesce _),
     "q_explode_join" -> (qExplodeJoin _),
@@ -194,6 +220,19 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey AS key, count(*) AS n_orders
+        |  FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey),
+        |b AS (SELECT user_id AS key, count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT key,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CASE WHEN n_orders IS NOT NULL AND n_events IS NOT NULL THEN 'both'
+        |       WHEN n_events IS NULL THEN 'orders_only'
+        |       ELSE 'events_only' END AS side
+        |FROM a FULL JOIN b USING (key)
+        |ORDER BY key ASC NULLS FIRST""".stripMargin,
     "q_broadcast_join" ->
       """SELECT o_orderkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
