@@ -237,7 +237,28 @@ object Windows {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** W4+F2 — month-over-month growth: aggregate to the month grain
+    * FIRST, then lag over the month series per segment — the window
+    * input is months×segments rows, never orders; growth is a ratio
+    * of exact decimal sums rounded at 4. The classic reporting shape
+    * (aggregate → lag → delta) that naive implementations write as a
+    * self-join on month−1. */
+  def qMomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority".as("prio"),
+        date_trunc("month", $"o_orderdate").cast("date").as("month"))
+      .agg(sum($"o_totalprice").as("total"))
+    val w = Window.partitionBy($"prio").orderBy($"month".asc)
+    monthly
+      .withColumn("prev", lag($"total", 1).over(w))
+      .select($"prio", $"month", round($"total", 2).as("total"),
+        round($"total" / $"prev" - 1, 4).as("mom_growth"))
+      .orderBy($"prio".asc_nulls_first, $"month".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mom_growth" -> (qMomGrowth _),
     "q_row_number" -> (qRowNumber _),
     "q_rank" -> (qRank _),
     "q_rolling_sum" -> (qRollingSum _),
@@ -341,6 +362,16 @@ object Windows {
         |FROM orders
         |GROUP BY month
         |ORDER BY month ASC NULLS FIRST""".stripMargin,
+    "q_mom_growth" ->
+      """WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    sum(o_totalprice) AS total
+        |  FROM orders GROUP BY prio, month)
+        |SELECT prio, month, round(total, 2) AS total,
+        |  round(total / lag(total, 1) OVER
+        |    (PARTITION BY prio ORDER BY month ASC) - 1, 4) AS mom_growth
+        |FROM m
+        |ORDER BY prio ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
