@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Distributed-determinism contract: a query's RESULT (values and
+  * row order) must not depend on how the data happens to be
+  * partitioned — the property that makes a result reproducible on a
+  * 4-thread laptop, a 32-thread box, and a 1000-executor cluster.
+  * Runs the riskiest shapes (list accumulation, per-group sampling,
+  * iterative clustering, signature joins, salted aggregation,
+  * window picks) under shuffle.partitions=7 vs the suite default and
+  * demands identical ordered results. Catches the classic bugs:
+  * collect_list without an ordering, ties broken by partition
+  * arrival, floats summed then ORDER BY'd, min-hash ties.
+  */
+class PartitionInvarianceSpec extends SparkSuite with Matchers {
+
+  private val risky = Seq(
+    "q_collect_list",    // list accumulation needs an explicit sort
+    "q_group_sample",    // per-group hash sampling tie-breaks
+    "q_union_dedup",     // first-wins precedence across partitions
+    "q_salted_agg",      // two-phase salted aggregation
+    "q_minhash_est",     // signature join + 1/16 estimates
+    "q_boilerplate",     // corpus frequency + ordered reassembly
+    "q_dedup_clusters",  // iterative min-label propagation
+    "q_asof_nearest",    // two-window min-gap pick
+    "q_ann_multiprobe",  // centroid ranking + top-k ties
+    "q_mom_growth",      // aggregate-then-lag series
+    "q_pack_sequences",  // running-sum chunk boundaries
+    "q_topk_per_group")  // rank ties
+
+  test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[Seq[Any]]] =
+      risky.map { name =>
+        name -> SparkEntry.queries(name)(spark, sf)
+          .collect().toSeq.map(_.toSeq)
+      }.toMap
+    val base = runAll()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = runAll()
+      risky.foreach { name =>
+        withClue(name) {
+          alt(name) shouldBe base(name)
+          alt(name).size should be > 0
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
