@@ -257,7 +257,44 @@ object Windows {
       .orderBy($"prio".asc_nulls_first, $"month".asc_nulls_first)
   }
 
+  /** F2+U4 — time-series gap detection: generate the full date spine
+    * from the observed min..max and anti-join the days that actually
+    * occur — the data-quality check behind "which days are missing
+    * from the feed?". The spine is one row per DAY (tiny at any
+    * corpus scale — a century is ~37k rows), built with
+    * explode(sequence); the anti join hashes on the date. */
+  def qMissingDays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.orders(spark, dir).select($"o_orderdate".as("d"))
+    val spine = days.agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    spine.join(days.distinct(), $"day" === $"d", "left_anti")
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  /** W1+F2 — islands: group each user's event DAYS into runs of
+    * consecutive days (start, end, length) via the classic
+    * day − row_number trick — the grouping key is constant within a
+    * run and needs no self-join or lag-chain; one window + one agg,
+    * both keyed by user. */
+  def qIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+    days
+      .withColumn("grp", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"day").as("run_start"), max($"day").as("run_end"),
+        count(lit(1)).as("run_len"))
+      .select($"user_id", $"run_start", $"run_end", $"run_len")
+      .orderBy($"user_id".asc_nulls_first, $"run_start".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_missing_days" -> (qMissingDays _),
+    "q_islands" -> (qIslands _),
     "q_mom_growth" -> (qMomGrowth _),
     "q_row_number" -> (qRowNumber _),
     "q_rank" -> (qRank _),
@@ -362,6 +399,27 @@ object Windows {
         |FROM orders
         |GROUP BY month
         |ORDER BY month ASC NULLS FIRST""".stripMargin,
+    "q_missing_days" ->
+      """WITH b AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        |  FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |seen AS (SELECT DISTINCT o_orderdate AS d FROM orders)
+        |SELECT day FROM spine
+        |WHERE day NOT IN (SELECT d FROM seen)
+        |ORDER BY day ASC NULLS FIRST""".stripMargin,
+    "q_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC)
+        |      * INTERVAL 1 DAY AS grp
+        |  FROM days)
+        |SELECT user_id, min(day) AS run_start, max(day) AS run_end,
+        |  count(*) AS run_len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id ASC NULLS FIRST, run_start ASC NULLS FIRST""".stripMargin,
     "q_mom_growth" ->
       """WITH m AS (SELECT o_orderpriority AS prio,
         |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
