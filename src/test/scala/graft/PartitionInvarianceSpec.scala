@@ -27,7 +27,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_ann_multiprobe",  // centroid ranking + top-k ties
     "q_mom_growth",      // aggregate-then-lag series
     "q_pack_sequences",  // running-sum chunk boundaries
-    "q_topk_per_group")  // rank ties
+    "q_topk_per_group",  // rank ties
+    "q_islands")         // row_number-derived grouping key
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
