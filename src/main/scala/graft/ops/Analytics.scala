@@ -184,6 +184,53 @@ object Analytics {
       .orderBy($"event_type".asc_nulls_first, $"bin".asc_nulls_first)
   }
 
+  /** J10+A1 — market-basket co-occurrence: part pairs bought in the
+    * same order with support ≥ 3 (the association-mining support
+    * count). The pair space is per-ORDER quadratic — bounded by
+    * basket size, never corpus size — via a self-join co-partitioned
+    * on the order key (the key both sides already hash on); pa < pb
+    * emits each pair once. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 3)
+      .orderBy($"support".desc_nulls_last, $"pa".asc_nulls_first,
+        $"pb".asc_nulls_first)
+  }
+
+  /** W3+A2 — RFM segmentation: per-customer recency / frequency /
+    * monetary quartiles WITHIN the customer's market segment (the
+    * window stays key-partitioned — a global ntile would serialize
+    * on one task, which the plan sweep forbids), concatenated into
+    * the classic 3-digit segment code. Ties break on c_custkey so
+    * quartile assignment is total-order deterministic. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("freq"),
+        round(sum($"o_totalprice"), 2).as("monetary"))
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+    def q(col_ : org.apache.spark.sql.Column, asc: Boolean) =
+      ntile(4).over(Window.partitionBy($"c_mktsegment")
+        .orderBy(if (asc) col_.asc else col_.desc, $"c_custkey".asc))
+    per.select($"c_custkey", $"c_mktsegment",
+        q($"last_order", asc = false).as("r"),
+        q($"freq", asc = false).as("f"),
+        q($"monetary", asc = false).as("m"))
+      .withColumn("segment", concat($"r", $"f", $"m"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
   /** J7+A2 — large-volume orders (TPC-H Q18 shape): HAVING-filtered
     * aggregate as a join input — lineitem pre-aggregated per order,
     * thresholded, then joined back to orders+customer. The aggregate
@@ -720,6 +767,8 @@ object Analytics {
     "q_bit_agg" -> (qBitAgg _),
     "q_anomaly" -> (qAnomaly _),
     "q_histogram" -> (qHistogram _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_rfm" -> (qRfm _),
     "q_regr" -> (qRegr _),
     "q_sequence" -> (qSequence _),
     "q_big_spenders" -> (qBigSpenders _),
@@ -907,6 +956,35 @@ object Analytics {
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY pa, pb
+        |HAVING count(*) >= 3
+        |ORDER BY support DESC NULLS LAST, pa ASC NULLS FIRST,
+        |  pb ASC NULLS FIRST""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(o_orderdate) AS last_order, count(*) AS freq,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c_custkey, c_mktsegment, last_order, freq, monetary
+        |  FROM per JOIN customer ON o_custkey = c_custkey),
+        |t AS (SELECT c_custkey, c_mktsegment,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY last_order DESC, c_custkey ASC) AS r,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY freq DESC, c_custkey ASC) AS f,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY monetary DESC, c_custkey ASC) AS m
+        |  FROM j)
+        |SELECT c_custkey, c_mktsegment, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS segment
+        |FROM t
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
     "q_histogram" ->
       """WITH stats AS (SELECT event_type AS s_type,
         |    min(value) AS lo, max(value) AS hi
