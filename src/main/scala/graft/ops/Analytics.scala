@@ -251,14 +251,15 @@ object Analytics {
   }
 
   /** A7+J1 — promo revenue share (TPC-H Q14 shape): conditional
-    * aggregate ratio over a broadcast dimension join, per ship
-    * month. The CASE keys off the joined dim attribute; numerator
-    * and denominator come from ONE aggregate pass. */
+    * aggregate ratio over a dimension join (part UNHINTED — auto-BHJ
+    * at test SF, shuffle at 100 TB), per ship month. The CASE keys
+    * off the joined dim attribute; numerator and denominator come
+    * from ONE aggregate pass. */
   def qPromoShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
       .groupBy(date_trunc("month", $"l_shipdate").cast("date").as("month"))
       .agg(round(
         lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0)))
@@ -274,7 +275,7 @@ object Analytics {
   def qDisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(Tables.part(spark, dir),
         $"l_partkey" === $"p_partkey" && (
           ($"p_brand" === "Brand#4" && $"p_size" <= 10 &&
             $"l_quantity".between(5, 20)) ||

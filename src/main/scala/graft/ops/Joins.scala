@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Joins and set operations (SURVEY.md §2.3, §2.7).
   *
-  * Scale doctrine: dimension sides (region/nation/customer/supplier at
-  * TPC-H ratios) are broadcast explicitly — a broadcast-hash join is a
-  * map-side operation with zero shuffle of the fact table. Fact-fact
-  * joins (lineitem⋈orders) shuffle on the join key; at 100 TB that is
-  * the one unavoidable shuffle, and AQE handles skew splitting.
+  * Scale doctrine: only TRUE dimensions (region 5 rows, nation 25 rows
+  * — fixed cardinality at every SF) carry an explicit `broadcast()`
+  * hint. SF-proportional tables (customer, supplier, part) are left
+  * UNHINTED: at test SF Catalyst's size statistics still pick a
+  * broadcast-hash join (pinned by OpsSpec), and at 100 TB the same
+  * plan degrades gracefully to a shuffle join instead of attempting to
+  * broadcast billions of rows. Fact-fact joins (lineitem⋈orders)
+  * shuffle on the join key; at 100 TB that is the one unavoidable
+  * shuffle, and AQE handles skew splitting.
   */
 object Joins {
   type Q = (SparkSession, String) => DataFrame
@@ -21,7 +25,7 @@ object Joins {
   def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_name", $"c_mktsegment")
       .orderBy($"o_orderkey".asc_nulls_first)
   }
@@ -34,7 +38,7 @@ object Joins {
       .filter($"c_mktsegment" === "BUILDING")
       .select($"c_custkey", $"c_mktsegment")
     Tables.orders(spark, dir)
-      .join(broadcast(overrides), $"o_custkey" === $"c_custkey", "left_outer")
+      .join(overrides, $"o_custkey" === $"c_custkey", "left_outer")
       .select($"o_orderkey", coalesce($"c_mktsegment", lit("DEFAULT")).as("segment"))
       .orderBy($"o_orderkey".asc_nulls_first)
   }
@@ -61,7 +65,7 @@ object Joins {
     import spark.implicits._
     val rich = Tables.customer(spark, dir).filter($"c_acctbal" > 5000.0)
     Tables.orders(spark, dir)
-      .join(broadcast(rich), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
       .select($"o_orderkey", $"o_custkey")
       .orderBy($"o_orderkey".asc_nulls_first)
   }
@@ -73,20 +77,21 @@ object Joins {
     val blocklist = Tables.customer(spark, dir)
       .filter($"c_mktsegment" === "AUTOMOBILE")
     Tables.orders(spark, dir)
-      .join(broadcast(blocklist), $"o_custkey" === $"c_custkey", "left_anti")
+      .join(blocklist, $"o_custkey" === $"c_custkey", "left_anti")
       .select($"o_orderkey", $"o_custkey")
       .orderBy($"o_orderkey".asc_nulls_first)
   }
 
   /** J7 — multi-way equi join (TPC-H Q5 shape): the one fact-fact
-    * shuffle join (lineitem⋈orders) plus broadcast dims all the way
-    * out. Catalyst reorders + picks BHJ for every dimension side. */
+    * shuffle join (lineitem⋈orders); customer/supplier are UNHINTED
+    * (Catalyst auto-broadcasts them at test SF, degrades to shuffle at
+    * 100 TB); only fixed-cardinality nation/region carry hints. */
   def qMultiwayJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, dir),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
@@ -98,8 +103,9 @@ object Joins {
   }
 
   /** J7/O2 headline — shipping-priority (TPC-H Q3 shape): segment-
-    * filtered customer dim broadcast into date-filtered orders, one
-    * fact-fact shuffle to date-filtered lineitem, revenue agg, top-10.
+    * filtered customer (unhinted — auto-BHJ at test SF) joined into
+    * date-filtered orders, one fact-fact shuffle to date-filtered
+    * lineitem, revenue agg, top-10.
     * The two date predicates and the segment filter all push to the
     * parquet scans (PushedFilters), and orderBy+limit collapses to
     * TakeOrderedAndProject — no global sort. */
@@ -111,7 +117,7 @@ object Joins {
       .select($"c_custkey")
     Tables.orders(spark, dir)
       .filter($"o_orderdate" < cutoff)
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff),
         $"o_orderkey" === $"l_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")

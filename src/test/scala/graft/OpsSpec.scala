@@ -172,27 +172,42 @@ class OpsSpec extends SparkSuite with Matchers {
     ivf.foreach { case (q, s) => s should be <= exact(q) }
   }
 
-  test("jaccard sizes join is never hint-forced to broadcast (100 TB safety)") {
-    // `sizes` is a per-document aggregate — corpus-sized at scale. With
-    // auto-broadcast off (= what stats dictate at 100 TB) the plan must
-    // contain NO BroadcastExchange: proves no hard-coded broadcast hint.
+  test("registry-wide hint sweep: no broadcast() hint on anything SF-proportional") {
+    // THE 100 TB broadcast doctrine, enforced over the ENTIRE registry:
+    // with auto-broadcast disabled (= what size statistics dictate at
+    // 100 TB), the only queries whose plans may still contain a
+    // BroadcastExchange are the ones whose hint targets a shape that is
+    // bounded at every scale factor. Anything SF-proportional
+    // (customer/supplier/part, per-document aggregates like the jaccard
+    // `sizes` or boilerplate frequency tables) must be UNHINTED so the
+    // plan degrades to a shuffle join instead of broadcasting billions
+    // of rows. A new broadcast() hint anywhere fails this test until it
+    // is adjudicated onto the whitelist below.
+    val whitelist = Set(
+      // 1-row scalar aggregates cross-joined onto every row
+      "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
+      "q_idle_customers", "q_part_share", "q_top_supplier",
+      // nation (25 rows) / region (5 rows) — fixed cardinality dims
+      "q_explode_join", "q_multiway_join", "q_returned_items",
+      "q_local_revenue", "q_trade_volume", "q_product_profit",
+      "q_min_cost_supplier", "q_market_share",
+      // per-event-type stats — bounded by the type vocabulary, not rows
+      "q_anomaly", "q_histogram",
+      // lexicon / config-defaults / benchmark-gram / mixture-weight dims
+      "q_lang_id", "q_default_overlay", "q_contamination", "q_mixture_sample",
+      // broadcast query sets and k-row centroid/index metadata
+      "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
+    val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      planOf(Text.qNearDup(spark, sf)) should not include "BroadcastExchange"
-      planOf(Text.qNgramJaccard(spark, sf)) should not include "BroadcastExchange"
+      SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+        planOf(SparkEntry.queries(n)(spark, sf)).contains("BroadcastExchange")
+      }.toSet
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-  }
-
-  test("boilerplate frequency join is never hint-forced to broadcast (100 TB safety)") {
-    // the per-segment frequency table is corpus-sized at scale — same
-    // class as the jaccard `sizes` pin above: with auto-broadcast off
-    // the plan must contain NO BroadcastExchange.
-    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      planOf(Corpus.qBoilerplate(spark, sf)) should not include "BroadcastExchange"
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    withClue(s"unadjudicated hints: ${(hinted -- whitelist).toSeq.sorted}; " +
+      s"stale whitelist rows: ${(whitelist -- hinted).toSeq.sorted}: ") {
+      hinted shouldBe whitelist
+    }
   }
 
   test("LSH banded join recovers every near-dup pair that shares a band") {
