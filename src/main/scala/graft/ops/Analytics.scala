@@ -177,8 +177,12 @@ object Analytics {
     Tables.events(spark, dir)
       .join(broadcast(stats), $"event_type" === $"s_type")
       .withColumn("bin",
-        least(floor(($"value" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9L))
-          .cast("long"))
+        // hi==lo (constant-value type) makes the width 0 and the ratio
+        // 0/0 = NaN — guard explicitly instead of leaning on both
+        // engines agreeing that least(NaN, 9) keeps the 9
+        when($"hi" === $"lo", lit(0L))
+          .otherwise(least(floor(($"value" - $"lo") / (($"hi" - $"lo") / 10.0)),
+            lit(9L)).cast("long")))
       .groupBy($"event_type", $"bin")
       .agg(count(lit(1)).as("n"))
       .orderBy($"event_type".asc_nulls_first, $"bin".asc_nulls_first)
@@ -991,8 +995,9 @@ object Analytics {
         |    min(value) AS lo, max(value) AS hi
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
-        |  CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT)
-        |    AS bin,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9)
+        |         AS BIGINT) END AS bin,
         |  count(*) AS n
         |FROM events JOIN stats ON event_type = s_type
         |GROUP BY event_type, bin

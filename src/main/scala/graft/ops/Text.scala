@@ -523,11 +523,11 @@ object Text {
     // banded self-join twice during materialization
     val tInit = System.nanoTime()
     // The per-round plans are tiny (label-pair tables, ≤ graph-node
-    // cardinality after init): AQE re-planning and whole-stage codegen
-    // compilation dominate each round's DRIVER-side cost (~1.3 s/round
-    // measured vs 0.07 s of execution). Both off for the loop only —
-    // at any scale the iteration's joins hash on v/lbl with fixed
-    // shuffle width, which needs neither. Restored in the finally.
+    // cardinality after init): AQE re-planning dominates each round's
+    // DRIVER-side cost (~1.3 s/round measured vs 0.07 s of execution).
+    // AQE off for the loop only — at any scale the iteration's joins
+    // hash on v/lbl with fixed shuffle width, which needs no runtime
+    // re-plan. Restored in the finally.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -184,12 +184,16 @@ object Windows {
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts_us".asc, $"kind".asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // ts and value ride ONE struct so they always come from the same
+    // anchor row — independent last() passes would desynchronize when
+    // the nearest anchor carries a NULL value (ignoreNulls would skip
+    // to an older anchor's value while keeping the newer timestamp)
+    val anchor = when($"a_ts".isNotNull, struct($"a_ts".as("ts"), $"a_value".as("value")))
     probes.unionByName(anchors)
-      .withColumn("m_ts", last($"a_ts", ignoreNulls = true).over(w))
-      .withColumn("m_value",
-        round(last($"a_value", ignoreNulls = true).over(w), 6))
+      .withColumn("m", last(anchor, ignoreNulls = true).over(w))
       .filter($"kind" === 1)
-      .select($"event_id", $"user_id", $"ts_us", $"m_ts", $"m_value")
+      .select($"event_id", $"user_id", $"ts_us",
+        $"m.ts".as("m_ts"), round($"m.value", 6).as("m_value"))
       .orderBy($"event_id".asc_nulls_first)
   }
 
@@ -222,18 +226,19 @@ object Windows {
     val wf = Window.partitionBy($"user_id")
       .orderBy($"ts_us".asc, $"kind".desc)
       .rowsBetween(0, Window.unboundedFollowing)
+    // as in qAsofJoin: each direction carries ONE struct so timestamp
+    // and value can never come from different anchor rows
+    val anchor = when($"a_ts".isNotNull, struct($"a_ts".as("ts"), $"a_value".as("value")))
     val both = probes.unionByName(anchors)
-      .withColumn("b_ts", last($"a_ts", ignoreNulls = true).over(wb))
-      .withColumn("b_value", last($"a_value", ignoreNulls = true).over(wb))
-      .withColumn("f_ts", first($"a_ts", ignoreNulls = true).over(wf))
-      .withColumn("f_value", first($"a_value", ignoreNulls = true).over(wf))
+      .withColumn("b", last(anchor, ignoreNulls = true).over(wb))
+      .withColumn("f", first(anchor, ignoreNulls = true).over(wf))
       .filter($"kind" === 1)
-    val pickB = $"f_ts".isNull ||
-      ($"b_ts".isNotNull && ($"ts_us" - $"b_ts") <= ($"f_ts" - $"ts_us"))
+    val pickB = $"f".isNull ||
+      ($"b".isNotNull && ($"ts_us" - $"b.ts") <= ($"f.ts" - $"ts_us"))
     both
       .select($"event_id", $"user_id", $"ts_us",
-        when(pickB, $"b_ts").otherwise($"f_ts").as("m_ts"),
-        round(when(pickB, $"b_value").otherwise($"f_value"), 6).as("m_value"))
+        when(pickB, $"b.ts").otherwise($"f.ts").as("m_ts"),
+        round(when(pickB, $"b.value").otherwise($"f.value"), 6).as("m_value"))
       .orderBy($"event_id".asc_nulls_first)
   }
 
@@ -406,7 +411,7 @@ object Windows {
         |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
         |seen AS (SELECT DISTINCT o_orderdate AS d FROM orders)
         |SELECT day FROM spine
-        |WHERE day NOT IN (SELECT d FROM seen)
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE d = day)
         |ORDER BY day ASC NULLS FIRST""".stripMargin,
     "q_islands" ->
       """WITH days AS (SELECT DISTINCT user_id,
