@@ -42,11 +42,18 @@ object Bench {
     // round-robin passes.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
-    def runPass(subset: Seq[String]): Unit = subset.foreach { name =>
-      val t = timeOnce(SparkEntry.queries(name))
-      val cur = best.getOrElse(name, Double.MaxValue)
-      best(name) = if (t < 0) (if (cur == Double.MaxValue) -1.0 else cur)
-        else if (cur < 0 || cur == Double.MaxValue) t else math.min(cur, t)
+    def runPass(subset: Seq[String]): Unit = {
+      // each pass pays shared memoized work (the CC label fixpoint)
+      // exactly once — q_dedup_clusters sorts before q_keep_canonical,
+      // so the first consumer in the pass computes, the second reuses;
+      // without the clear, pass 2+ would time cache hits
+      graft.ops.Text.clearLabelCache()
+      subset.foreach { name =>
+        val t = timeOnce(SparkEntry.queries(name))
+        val cur = best.getOrElse(name, Double.MaxValue)
+        best(name) = if (t < 0) (if (cur == Double.MaxValue) -1.0 else cur)
+          else if (cur < 0 || cur == Double.MaxValue) t else math.min(cur, t)
+      }
     }
     runPass(names.map(_._1))
     runPass(names.map(_._1))

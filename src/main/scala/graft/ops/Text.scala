@@ -515,8 +515,24 @@ object Text {
   }
 
   /** The unordered (doc_id, cluster_id) assignment qDedupClusters
-    * sorts and qKeepCanonical consumes. */
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    * sorts and qKeepCanonical consumes.
+    *
+    * Memoized per (session, dir): both consumers need the SAME
+    * converged fixpoint, so the iteration runs once per session/input
+    * and the checkpoint-backed label DataFrame (distributed blocks —
+    * never a driver-side collect) is shared. Deterministic: min-label
+    * CC has exactly one fixpoint for a given edge set, so reuse can
+    * never change a result. [[graft.Bench]] clears the memo between
+    * timing passes so each pass pays the iteration cost exactly once. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearLabelCache(): Unit = labelCache.clear()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
+
+  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cache the PAIRS, not the union: the two union branches are
     // separate plan subtrees, so an uncached union would run the
