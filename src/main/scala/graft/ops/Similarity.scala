@@ -178,6 +178,53 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
   }
 
+  /** L34 — SemDeDup-style semantic dedup: within each embedding cell
+    * (label = the IVF cell a 100 TB pipeline gets from k-means), pick
+    * ONE keeper — the vector closest to the cell centroid — and flag
+    * every other member whose cosine to the keeper clears the
+    * threshold as a semantic duplicate. Cosine cost is cell-LOCAL:
+    * each vector is compared against exactly one keeper, never
+    * pairwise, so the whole pass is O(corpus), unlike q_embed_neardup's
+    * per-cell-quadratic pair listing.
+    *
+    * Plan shape: centroids via posexplode + hash-agg (map-side combine
+    * ships ≤ cells×dims partials); keeper per cell via min_by over a
+    * (dist, vec_id) struct — ONE hash-agg, no window, deterministic
+    * tie-break; members then equi-join the k-row keeper table on the
+    * cell label (broadcast — bounded by the index parameter k, the
+    * same class as q_ann_multiprobe's centroid table). Distances and
+    * sims round at 4dp before any comparison, mirroring the oracle. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val cents = base
+      .select($"label", posexplode($"vec").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("p_label"),
+        expr("transform(pc, e -> e.c)").as("cvec"))
+    val withDist = base
+      .join(broadcast(cents), $"label" === $"p_label")
+      .withColumn("dist", round(
+        expr("graft_dot(vec, vec)") - lit(2.0) * expr("graft_dot(vec, cvec)")
+          + expr("graft_dot(cvec, cvec)"), 4))
+      .select($"vec_id", $"label", $"vec", $"nrm", $"dist")
+    val keepers = withDist
+      .groupBy($"label".as("k_label"))
+      .agg(min_by(struct($"vec_id", $"vec", $"nrm"),
+        struct($"dist", $"vec_id")).as("k"))
+      .select($"k_label", $"k.vec_id".as("keep_id"),
+        $"k.vec".as("kv"), $"k.nrm".as("kn"))
+    withDist
+      .join(broadcast(keepers), $"label" === $"k_label" && $"vec_id" =!= $"keep_id")
+      .withColumn("sim", round(expr("graft_dot(vec, kv)") / ($"nrm" * $"kn"), 4))
+      .select($"label", $"keep_id", $"vec_id", $"sim",
+        ($"sim" >= 0.2).cast("int").as("dropped"))
+      .orderBy($"label".asc_nulls_first, $"vec_id".asc_nulls_first)
+  }
+
   /** L12's index-BUILD step — per-cell centroids: element-wise mean
     * of every cell's vectors, one (label, pos, mean) row per
     * dimension. posexplode(64-dim) then hash-agg on (label, pos):
@@ -244,6 +291,7 @@ object Similarity {
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_centroids" -> (qCentroids _),
   )
 
@@ -338,6 +386,42 @@ object Similarity {
         |  FROM s)
         |SELECT q_id, c_id, rnk, sim FROM r WHERE rnk <= 3
         |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pe GROUP BY vec_id),
+        |cent AS (SELECT label, i, round(avg(x), 4) AS c
+        |  FROM pe GROUP BY label, i),
+        |vv AS (SELECT vec_id, sum(x * x) AS vv FROM pe GROUP BY vec_id),
+        |vc AS (SELECT p.vec_id, sum(p.x * c.c) AS vc
+        |  FROM pe p JOIN cent c ON p.label = c.label AND p.i = c.i
+        |  GROUP BY p.vec_id),
+        |cc AS (SELECT label, sum(c * c) AS cc FROM cent GROUP BY label),
+        |mem AS (SELECT DISTINCT vec_id, label FROM embeddings),
+        |d AS (SELECT mem.vec_id, mem.label,
+        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) AS dist
+        |  FROM mem JOIN vv USING (vec_id) JOIN vc USING (vec_id)
+        |  JOIN cc ON mem.label = cc.label),
+        |rk AS (SELECT label, vec_id, row_number() OVER
+        |    (PARTITION BY label ORDER BY dist ASC, vec_id ASC) AS rk
+        |  FROM d),
+        |keep AS (SELECT label, vec_id AS keep_id FROM rk WHERE rk = 1),
+        |dt AS (SELECT m.vec_id, m.label, keep.keep_id, sum(m.x * kp.x) AS dot
+        |  FROM pe m
+        |  JOIN keep ON m.label = keep.label
+        |  JOIN pe kp ON kp.vec_id = keep.keep_id AND kp.i = m.i
+        |  WHERE m.vec_id <> keep.keep_id
+        |  GROUP BY m.vec_id, m.label, keep.keep_id),
+        |s AS (SELECT dt.label, dt.keep_id, dt.vec_id,
+        |    round(dt.dot / (nm.nrm * nk.nrm), 4) AS sim
+        |  FROM dt JOIN norms nm ON dt.vec_id = nm.vec_id
+        |  JOIN norms nk ON dt.keep_id = nk.vec_id)
+        |SELECT label, keep_id, vec_id, sim,
+        |  CAST(sim >= 0.2 AS INT) AS dropped
+        |FROM s
+        |ORDER BY label ASC NULLS FIRST, vec_id ASC NULLS FIRST""".stripMargin,
     "q_embed_neardup" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,
