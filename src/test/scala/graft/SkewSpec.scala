@@ -26,6 +26,41 @@ class SkewSpec extends SparkSuite with Matchers {
     }
   }
 
+  /** The aggregation-explosion half of the doctrine: AQE's skew-join
+    * split cannot save a basket whose PAIR GENERATION is quadratic
+    * inside one join key — q_basket_pairs' salted path must (a) keep
+    * exact pair counts and (b) actually spread the mega-basket across
+    * the salt space so per-task work is M²/salts, not M². */
+  test("mega-basket pair build: salted path is exact and spreads the hot basket") {
+    import spark.implicits._
+    val m = 300 // basket of 300 items = 44 850 pairs if built on one task
+    val salts = 8
+    val mega = (1 to m).map(i => (1L, i.toLong))
+    val smalls = Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 2L), (4L, 3L))
+    val items = (mega ++ smalls).toDF("l_orderkey", "l_partkey")
+    val plain = items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = graft.ops.Analytics.basketPairs(items, cap = 32, salts = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    salted shouldBe plain
+    // spread bound: the deterministic item-hash salt puts the mega-
+    // basket's right side into `salts` non-empty buckets none larger
+    // than 2× the even split, so no (basket, salt) task builds more
+    // than M·(2M/salts) pairs — the M² single-task blowup is gone
+    val bucketSizes = items.filter($"l_orderkey" === 1L)
+      .select(Skew.saltOf($"l_partkey", salts).as("s"))
+      .groupBy($"s").count()
+      .collect().map(_.getLong(1))
+    bucketSizes.length shouldBe salts
+    bucketSizes.foreach(_ should be <= (2L * m / salts))
+  }
+
   /** The runtime half of the §4.3 doctrine: AQE detects a shuffle
     * partition dominated by one hot key AFTER the map stage runs and
     * splits it across tasks (skew=true on the join node) — no salting
