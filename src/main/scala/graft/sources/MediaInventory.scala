@@ -49,8 +49,9 @@ object MediaInventory {
     * unparsable ones carry the raw text in `_corrupt_record` for
     * quarantine/replay (mediaId still derived from the filename,
     * `<mediaId>_packets.json.gz`). */
-  def parsePacketDump(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def parsePacketDump(spark: SparkSession, path: String): DataFrame = {
+    IngestMetrics.register(spark)
+    IngestMetrics.observed(spark.read
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -61,7 +62,8 @@ object MediaInventory {
       .select(
         regexp_replace(element_at(split(input_file_name(), "/"), -1),
           "_packets\\.json\\.gz$", "").as("mediaId"),
-        col("packets"), col("_corrupt_record"))
+        col("packets"), col("_corrupt_record")))
+  }
 
   /** S4: ffprobe-JSON packet dump(s) → typed packet rows tagged with
     * the owning media id. Parsed files only — corrupt sidecars are

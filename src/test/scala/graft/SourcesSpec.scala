@@ -91,6 +91,43 @@ class SourcesSpec extends SparkSuite with Matchers {
     bad.head._2 should include("packets")
   }
 
+  test("quarantine rate is an observable metric, not a grep (S4 + §4.1)") {
+    import graft.sources.IngestMetrics
+    // 2 parsable sidecars + 1 truncated: the observe node on the parse
+    // boundary must report 3 rows read / 1 quarantined through the
+    // QueryExecutionListener, with no second scan and no user wiring
+    val dir = Files.createTempDirectory("graft_qrate").toString
+    def gzWrite(name: String, text: String): Unit = {
+      val gz = new GZIPOutputStream(Files.newOutputStream(Paths.get(dir, name)))
+      gz.write(text.getBytes("UTF-8")); gz.close()
+    }
+    val good = """{"packets": [{"pts_time": "0.0", "dts_time": "0.0",
+                 |  "size": "16", "pos": "0", "duration_time": "0.02"}]}""".stripMargin
+    gzWrite("g1_packets.json.gz", good)
+    gzWrite("g2_packets.json.gz", good)
+    gzWrite("bad_packets.json.gz", "{\n  \"packets\": [\n    {\"pts_time\": ")
+
+    IngestMetrics.reset()
+    MediaInventory.readPacketDump(spark, s"$dir/*.json.gz").count()
+    // listener delivery rides the async listener bus — poll, don't race
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var c = IngestMetrics.snapshot()
+    while (c.rowsRead < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100); c = IngestMetrics.snapshot()
+    }
+    c.rowsRead shouldBe 3
+    c.rowsQuarantined shouldBe 1
+    c.rejectRate shouldBe (1.0 / 3) +- 1e-9
+    // a second read accumulates into the session gauge
+    MediaInventory.corruptPacketDumps(spark, s"$dir/*.json.gz").count()
+    val d2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var c2 = IngestMetrics.snapshot()
+    while (c2.rowsRead < 6 && System.nanoTime() < d2) {
+      Thread.sleep(100); c2 = IngestMetrics.snapshot()
+    }
+    c2 shouldBe IngestMetrics.Counts(6, 2)
+  }
+
   test("PERMISSIVE JSON ingest quarantines corrupt lines instead of failing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_corrupt").toString
