@@ -654,7 +654,12 @@ object Analytics {
     * (row_number over cost) — and the part-dim FILTER JOIN runs
     * BEFORE the window, so at 100 TB the window sorts only the
     * surviving parts' offers, not the whole offer book. min() and /
-    * are order-insensitive IEEE ops, bit-identical on any engine. */
+    * are order-insensitive IEEE ops, bit-identical on any engine —
+    * but round(x, 4) is NOT (sf0.1 hit a .xxxx5 tie that Spark's
+    * BigDecimal HALF_UP and DuckDB's scaled rounding resolve
+    * differently), so the output gates through integer space:
+    * floor(x·10⁴) is one deterministic IEEE multiply + an exact
+    * floor, identical on both engines for identical doubles. */
   def qMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val offers = Tables.lineitem(spark, dir)
@@ -673,7 +678,7 @@ object Analytics {
       .join(broadcast(Tables.nation(spark, dir)),
         $"s_nationkey" === $"n_nationkey")
       .select($"p_partkey", $"s_name", $"n_name",
-        round($"unit_cost", 4).as("unit_cost"))
+        floor($"unit_cost" * 10000).cast("long").as("unit_cost_e4"))
       .orderBy($"p_partkey".asc_nulls_first)
   }
 
@@ -879,7 +884,8 @@ object Analytics {
         |      ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
         |  FROM offers JOIN part ON l_partkey = p_partkey
         |  WHERE p_size <= 15 AND p_type = 'LARGE')
-        |SELECT p_partkey, s_name, n_name, round(unit_cost, 4) AS unit_cost
+        |SELECT p_partkey, s_name, n_name,
+        |  CAST(floor(unit_cost * 10000) AS BIGINT) AS unit_cost_e4
         |FROM best
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
