@@ -66,6 +66,40 @@ object Text {
       .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
   }
 
+  /** L35 — Gopher-style quality RULE GATE with attribution: the
+    * published LLM-corpus heuristics (word count, mean word length,
+    * lexical diversity, single-token domination) as a bitmask of
+    * FAILED rules per document — a pipeline needs "why was this doc
+    * dropped", not just a boolean. All-integer output (counts, flags),
+    * so there is no cross-engine rounding surface at all; the two
+    * ratio thresholds compare deterministic single divisions.
+    * Plan: one arithmetic projection (word/char counts from
+    * split+length — no explode) joined to the per-doc top-token count
+    * (explode + two hash-aggs, doc-keyed — the only shuffle). The
+    * count side is corpus-sized and therefore UNHINTED. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select($"doc_id",
+      size(split($"text", " ")).as("wc"),
+      size(array_distinct(split($"text", " "))).as("uw"),
+      length($"text").as("len"))
+    val top = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("maxc"))
+    val mwl = ($"len" - $"wc" + 1).cast("double") / $"wc"
+    base.join(top, "doc_id")
+      .withColumn("flags",
+        when($"wc" < 30, 1).otherwise(0) +
+          when(mwl < 4.0 || mwl > 5.0, 2).otherwise(0) +
+          when($"uw".cast("double") / $"wc" < 0.35, 4).otherwise(0) +
+          when($"maxc".cast("double") / $"wc" > 0.12, 8).otherwise(0))
+      .select($"doc_id", $"wc".cast("long").as("wc"), $"flags",
+        when($"flags" === 0, 1).otherwise(0).as("keep"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** [EXT] PII scrub — email / URL / long-digit-run redaction before
     * a corpus ships to training. Pure regexp_replace projections
     * (codegen'd, zero shuffle besides the oracle sort); the patterns
@@ -635,6 +669,7 @@ object Text {
     "q_exact_dedup" -> (qExactDedup _),
     "q_token_freq" -> (qTokenFreq _),
     "q_doc_stats" -> (qDocStats _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -675,6 +710,29 @@ object Text {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH base AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_distinct(string_split(text, ' '))) AS uw,
+        |    length(text) AS len
+        |  FROM documents),
+        |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY doc_id, w),
+        |mx AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+        |f AS (SELECT b.doc_id, b.wc,
+        |    (CASE WHEN b.wc < 30 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN CAST(b.len - b.wc + 1 AS DOUBLE) / b.wc < 4.0
+        |          OR CAST(b.len - b.wc + 1 AS DOUBLE) / b.wc > 5.0
+        |        THEN 2 ELSE 0 END) +
+        |    (CASE WHEN CAST(b.uw AS DOUBLE) / b.wc < 0.35 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN CAST(mx.maxc AS DOUBLE) / b.wc > 0.12 THEN 8 ELSE 0 END)
+        |      AS flags
+        |  FROM base b JOIN mx USING (doc_id))
+        |SELECT doc_id, CAST(wc AS BIGINT) AS wc, flags,
+        |  CASE WHEN flags = 0 THEN 1 ELSE 0 END AS keep
+        |FROM f
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH lex(w, wlang) AS (VALUES
         |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),

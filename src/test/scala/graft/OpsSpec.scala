@@ -113,6 +113,38 @@ class OpsSpec extends SparkSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("as-of joins carry ts and value from the SAME anchor when its value is NULL") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // the ADVICE r5 latent bug: with independent last()/first()
+    // ignoreNulls passes, a nearest anchor carrying a NULL value would
+    // desynchronize — the probe got the nearest anchor's TIMESTAMP
+    // paired with an OLDER anchor's VALUE. The struct formulation must
+    // return the nearest anchor's NULL value instead.
+    val dir = Files.createTempDirectory("graft_asof_null").toString
+    def ns(sec: Long): Long = sec * 1000000000L
+    Seq(
+      (1L, ns(100), 1L, "purchase", Option(5.0), "{}"),
+      (2L, ns(200), 1L, "purchase", Option.empty[Double], "{}"), // nearest, NULL value
+      (3L, ns(210), 1L, "error", Option(0.0), "{}"),
+      (4L, ns(100), 2L, "purchase", Option(7.0), "{}"), // control user
+      (5L, ns(150), 2L, "error", Option(0.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    for (q <- Seq(Windows.qAsofJoin _, Windows.qAsofNearest _)) {
+      val rows = q(spark, dir)
+        .select($"event_id", $"m_ts", $"m_value")
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      // probe 3's nearest/latest anchor is ts=200s whose value IS null —
+      // 5.0 from the ts=100s anchor must NOT leak in
+      rows(3L) shouldBe ((Some(200000000L), None))
+      rows(5L) shouldBe ((Some(100000000L), Some(7.0)))
+    }
+  }
+
   test("pricing summary prunes columns at the parquet scan") {
     val plan = planOf(Relational.qPricingSummary(spark, sf))
     plan should include("ReadSchema")
