@@ -100,6 +100,35 @@ object Text {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L36 — context-window CHUNKING with overlap: split every document
+    * into 32-token windows at stride 24 (8-token overlap), emitting
+    * the chunk text and its token span — the preprocessing step that
+    * turns long documents into training-context-sized rows. Pure
+    * projection + generate (sequence of starts, one slice per chunk):
+    * no shuffle except the oracle sort; the chunk count per doc is
+    * ⌈wc/stride⌉ so output scales linearly with the corpus. A trailing
+    * start whose window adds no tokens beyond the previous chunk's
+    * coverage (wc ≤ s + overlap) is dropped — the standard chunker
+    * rule; the condition is monotone in s so chunk_idx stays
+    * contiguous. */
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val C = 32; val S = 24; val O = 8
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("wc", size($"ws"))
+      .select($"doc_id", $"ws", $"wc",
+        posexplode(sequence(lit(0), $"wc" - 1, lit(S))).as(Seq("chunk_idx", "s")))
+      .filter($"s" === 0 || $"wc" > $"s" + O)
+      .select($"doc_id", $"chunk_idx",
+        $"s".cast("long").as("tok_start"),
+        least($"s" + C, $"wc").cast("long").as("tok_end"),
+        (least($"s" + C, $"wc") - $"s").cast("long").as("n_toks"),
+        array_join(slice($"ws", $"s" + 1, least(lit(C), $"wc" - $"s")), " ")
+          .as("chunk"))
+      .orderBy($"doc_id".asc_nulls_first, $"chunk_idx".asc_nulls_first)
+  }
+
   /** [EXT] PII scrub — email / URL / long-digit-run redaction before
     * a corpus ships to training. Pure regexp_replace projections
     * (codegen'd, zero shuffle besides the oracle sort); the patterns
@@ -670,6 +699,7 @@ object Text {
     "q_token_freq" -> (qTokenFreq _),
     "q_doc_stats" -> (qDocStats _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_chunk_windows" -> (qChunkWindows _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -733,6 +763,22 @@ object Text {
         |  CASE WHEN flags = 0 THEN 1 ELSE 0 END AS keep
         |FROM f
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS wc
+        |  FROM documents),
+        |st AS (SELECT doc_id, ws, wc,
+        |    unnest(generate_series(0, wc - 1, 24)) AS s
+        |  FROM d)
+        |SELECT doc_id, CAST(s / 24 AS INT) AS chunk_idx,
+        |  s AS tok_start,
+        |  least(s + 32, wc) AS tok_end,
+        |  least(s + 32, wc) - s AS n_toks,
+        |  array_to_string(list_slice(ws, s + 1, least(s + 32, wc)), ' ')
+        |    AS chunk
+        |FROM st
+        |WHERE s = 0 OR wc > s + 8
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH lex(w, wlang) AS (VALUES
         |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
