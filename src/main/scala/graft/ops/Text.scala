@@ -129,6 +129,32 @@ object Text {
       .orderBy($"doc_id".asc_nulls_first, $"chunk_idx".asc_nulls_first)
   }
 
+  /** L37 — per-source OOV rate against a top-K corpus vocabulary
+    * (K=16 — the driver corpus has 31 token types, so half the type
+    * space is out-of-vocab and the metric discriminates):
+    * the tokenizer-coverage check run before committing to a vocab
+    * size (how much of each source's token stream falls outside the
+    * K most frequent types). Integer-only output (token and OOV
+    * COUNTS — the rate is a client-side division, keeping the oracle
+    * gate free of round-of-ratio ties). The top-16 vocab is
+    * ≤K rows BY CONSTRUCTION (orderBy+limit → TakeOrderedAndProject),
+    * so its broadcast is index-parameter-bounded — the same whitelist
+    * class as centroid metadata, NOT a corpus-sized aggregate. */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source", explode(toks($"text")).as("tok"))
+    val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc_nulls_last, $"tok".asc_nulls_first)
+      .limit(16)
+      .select($"tok".as("v_tok"))
+    tok.join(broadcast(vocab), $"tok" === $"v_tok", "left_outer")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"v_tok".isNull, lit(1))).as("n_oov"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   /** [EXT] PII scrub — email / URL / long-digit-run redaction before
     * a corpus ships to training. Pure regexp_replace projections
     * (codegen'd, zero shuffle besides the oracle sort); the patterns
@@ -700,6 +726,7 @@ object Text {
     "q_doc_stats" -> (qDocStats _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_chunk_windows" -> (qChunkWindows _),
+    "q_oov_rate" -> (qOovRate _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -779,6 +806,18 @@ object Text {
         |FROM st
         |WHERE s = 0 OR wc > s + 8
         |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+    "q_oov_rate" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok AS v_tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 16))
+        |SELECT source, count(*) AS n_tokens,
+        |  count(CASE WHEN v.v_tok IS NULL THEN 1 END) AS n_oov
+        |FROM t LEFT JOIN v ON t.tok = v.v_tok
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH lex(w, wlang) AS (VALUES
         |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),

@@ -227,9 +227,10 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_anomaly", "q_histogram",
       // lexicon / config-defaults / benchmark-gram / mixture-weight dims
       "q_lang_id", "q_default_overlay", "q_contamination", "q_mixture_sample",
-      // broadcast query sets and k-row centroid/index metadata
+      // broadcast query sets and k-row centroid/index metadata;
+      // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
-      "q_semantic_dedup")
+      "q_semantic_dedup", "q_oov_rate")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
