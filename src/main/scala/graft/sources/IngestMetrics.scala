@@ -41,7 +41,7 @@ object IngestMetrics {
   /** Attach the quarantine-counting observe node at a parse boundary
     * whose rows carry a `_corrupt_record` column. count(when) — never
     * sum — so an empty read reports 0, not null. */
-  private[sources] def observed(df: DataFrame): DataFrame =
+  private[graft] def observed(df: DataFrame): DataFrame =
     df.observe(MetricName,
       count(lit(1)).as("rows_read"),
       count(when(col("_corrupt_record").isNotNull, lit(1)))

@@ -128,6 +128,34 @@ class SourcesSpec extends SparkSuite with Matchers {
     c2 shouldBe IngestMetrics.Counts(6, 2)
   }
 
+  test("quarantine observe node reports per-batch metrics under streaming too") {
+    // the IngestMetrics doc claims the SAME observe node works
+    // unchanged under Structured Streaming — prove it: per-batch
+    // observed metrics surface in StreamingQueryProgress
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = graft.sources.IngestMetrics.observed(
+      mem.toDF().select($"value",
+        when($"value".startsWith("bad"), $"value")
+          .otherwise(lit(null).cast("string")).as("_corrupt_record")))
+    val q = parsed.writeStream.format("memory").queryName("qrate_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData("ok1", "bad1", "ok2")
+      q.processAllAvailable()
+      mem.addData("bad2")
+      q.processAllAvailable()
+      val per = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(
+          graft.sources.IngestMetrics.MetricName)))
+        .map(r => (r.getAs[Long]("rows_read"), r.getAs[Long]("rows_quarantined")))
+      per.map(_._1).sum shouldBe 4
+      per.map(_._2).sum shouldBe 2
+    } finally q.stop()
+  }
+
   test("PERMISSIVE JSON ingest quarantines corrupt lines instead of failing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_corrupt").toString
