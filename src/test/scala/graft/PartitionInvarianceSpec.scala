@@ -28,7 +28,11 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_mom_growth",      // aggregate-then-lag series
     "q_pack_sequences",  // running-sum chunk boundaries
     "q_topk_per_group",  // rank ties
-    "q_islands")         // row_number-derived grouping key
+    "q_islands",         // row_number-derived grouping key
+    "q_semantic_dedup",  // min_by argmin keeper ties + centroid sums
+    "q_basket_pairs",    // size-adaptive salted pair build
+    "q_oov_rate",        // top-K vocab via orderBy+limit ties
+    "q_gopher_rules")    // per-doc top-token argmax
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
