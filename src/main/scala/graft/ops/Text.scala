@@ -419,8 +419,14 @@ object Text {
     * full-digest mins — candidate-set parity with q_minhash_dedup. */
   def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def sh(i: Int): Column =
-      min(sha2(concat(lit(i + ":"), $"tok"), 256)).as(s"s$i")
+    // band hashes AND estimation minhashes are all affine functions of
+    // ONE digest per token (r5 lesson: per-row MessageDigest rounds
+    // dominate — 5 sha2/row profiled 17.7 s; this form is 1 sha2/row).
+    // Coefficients stay < 2^22 against the 28-bit base, so products
+    // fit well inside a long under ANSI mode.
+    def bh(i: Int): Column =
+      min((lit(2000003L + 104729L * i) * $"x" + lit(15485863L * i + 17L))
+        % lit(1000000007L)).as(s"h$i")
     def mh(i: Int): Column =
       min((lit(1000003L + 7919L * i) * $"x" + lit(7907L * i + 13L))
         % lit(1000000007L)).as(s"m$i")
@@ -430,9 +436,10 @@ object Text {
       .withColumn("x", conv(substring(sha2($"tok", 256), 1, 7), 16, 10)
         .cast("long"))
       .groupBy($"doc_id")
-      .agg(sh(0), Seq(1, 2, 3).map(sh) ++ (0 until 16).map(mh): _*)
+      .agg(bh(0), Seq(1, 2, 3).map(bh) ++ (0 until 16).map(mh): _*)
       .withColumn("band",
-        substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
+        substring(sha2(concat_ws(":",
+          (0 until 4).map(i => col(s"h$i").cast("string")): _*), 256), 1, 16))
       .select($"doc_id" +: $"band" +:
         (0 until 16).map(i => col(s"m$i")): _*)
       // lazy checkpoint: the self-join's two branches share one
@@ -918,22 +925,25 @@ object Text {
         |FROM sig
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_minhash_est" -> {
-      val salted = (0 until 4)
-        .map(i => s"min(sha256('$i:' || tok)) AS s$i").mkString(", ")
+      val bandMins = (0 until 4)
+        .map(i => s"min((${2000003L + 104729L * i} * x + ${15485863L * i + 17L})" +
+          s" % 1000000007) AS h$i").mkString(", ")
       val mins = (0 until 16)
         .map(i => s"min((${1000003L + 7919L * i} * x + ${7907L * i + 13L})" +
           s" % 1000000007) AS m$i").mkString(", ")
       val eqs = (0 until 16)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bandCat = (0 until 4)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
       s"""WITH t AS (SELECT DISTINCT doc_id,
          |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
          |  FROM documents),
          |tx AS (SELECT doc_id, tok,
          |    CAST(('0x' || substr(sha256(tok), 1, 7)) AS BIGINT) AS x
          |  FROM t),
-         |s AS (SELECT doc_id, $salted, $mins FROM tx GROUP BY doc_id),
+         |s AS (SELECT doc_id, $bandMins, $mins FROM tx GROUP BY doc_id),
          |sb AS (SELECT doc_id,
-         |    substring(sha256(s0 || s1 || s2 || s3), 1, 16) AS band,
+         |    substring(sha256($bandCat), 1, 16) AS band,
          |    ${(0 until 16).map(i => s"m$i").mkString(", ")}
          |  FROM s)
          |SELECT a.doc_id AS da, b.doc_id AS db,
