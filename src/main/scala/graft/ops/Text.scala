@@ -155,6 +155,28 @@ object Text {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** L38 — token-BUDGET curation fill: per language, take documents
+    * in priority order (longest first, doc_id tie-break) until a
+    * 1500-token budget is filled — the greedy selection step that
+    * assembles a fixed-size training mix from ranked candidates
+    * (complement of L24's rate-based mixture downsampling). One
+    * key-partitioned running-sum window; a doc is kept while the
+    * budget is not yet exhausted BEFORE it (cum − own < budget), so
+    * the document that crosses the line is included and fills the
+    * budget. Integer-only output; the (n_toks DESC, doc_id ASC)
+    * ordering is total, so RANGE/ROWS framing agree on both engines. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy($"n_toks".desc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", size(toks($"text")).cast("long").as("n_toks"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .filter($"cum" - $"n_toks" < 1500)
+      .select($"lang", $"doc_id", $"n_toks", $"cum")
+      .orderBy($"lang".asc_nulls_first, $"doc_id".asc_nulls_first)
+  }
+
   /** [EXT] PII scrub — email / URL / long-digit-run redaction before
     * a corpus ships to training. Pure regexp_replace projections
     * (codegen'd, zero shuffle besides the oracle sort); the patterns
@@ -734,6 +756,7 @@ object Text {
     "q_gopher_rules" -> (qGopherRules _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_oov_rate" -> (qOovRate _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
@@ -825,6 +848,18 @@ object Text {
         |FROM t LEFT JOIN v ON t.tok = v.v_tok
         |GROUP BY source
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY n_toks DESC, doc_id ASC) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT lang, doc_id, n_toks, cum FROM c
+        |WHERE cum - n_toks < 1500
+        |ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH lex(w, wlang) AS (VALUES
         |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
