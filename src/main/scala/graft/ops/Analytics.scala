@@ -618,6 +618,31 @@ object Analytics {
       .orderBy($"wk".asc_nulls_first)
   }
 
+  /** A20 — TIME-BOUND conversion: clicks followed by a purchase by
+    * the same user within one hour, counted per user — the funnel
+    * variant where ordering alone is not enough (q_funnel) and the
+    * step must land inside a window. Shape: left_semi join with the
+    * user equi key and the interval as a residual — hashes on
+    * user_id, evaluates the time bound inside the join, never a
+    * cross product (the q_range_join contract on the events table);
+    * semi means a click converts at most once however many purchases
+    * follow. Exact µs integer arithmetic end to end. */
+  def qTimedConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros($"ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts_us")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts_us".as("p_ts"))
+    clicks
+      .join(purchases,
+        $"user_id" === $"p_user" && $"p_ts" > $"ts_us" &&
+          $"p_ts" <= $"ts_us" + lit(3600L * 1000000L), "left_semi")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_converted"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
   /** W5+ — deterministic per-group sample ("reservoir" without RNG):
     * the k=5 events whose md5(event_id) sorts lowest per event_type —
     * a uniform, reproducible, engine-independent without-replacement
@@ -799,6 +824,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "q_funnel" -> (qFunnel _),
+    "q_timed_conversion" -> (qTimedConversion _),
     "q_retention" -> (qRetention _),
     "q_group_sample" -> (qGroupSample _),
     "q_rank_dist" -> (qRankDist _),
@@ -835,6 +861,17 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_timed_conversion" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT user_id, count(*) AS n_converted
+        |FROM e c
+        |WHERE c.event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM e p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |      AND p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 3600000000)
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "q_funnel" ->
       """WITH f AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'view'
