@@ -822,8 +822,74 @@ object Analytics {
       .orderBy($"s_name".asc_nulls_first)
   }
 
+  /** A20 — Markov transition counts over the event stream: for every
+    * user the ts-ordered successor event type (lead over the SAME
+    * (ts_us, event_id) ordering contract as qLead), then the global
+    * (from_type, to_type) transition matrix with its row-normalized
+    * probability. The user-partitioned window is the only fact-grain
+    * shuffle; the probability normalizer runs on the aggregated
+    * matrix (≤ |types|² rows), so the second window is free. ln-free
+    * integer counts; the probability is the one float, rounded at 6
+    * AFTER the division of two exact longs — identical on both
+    * engines. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val trans = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"user_id", $"event_type".as("from_type"),
+        lead($"event_type", 1).over(w).as("to_type"))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val wf = Window.partitionBy($"from_type")
+    trans
+      .withColumn("prob",
+        round($"cnt".cast("double") / sum($"cnt").over(wf), 6))
+      .orderBy($"from_type".asc_nulls_first, $"to_type".asc_nulls_first)
+  }
+
+  /** A20+W4 — inter-event dwell-gap quantiles per event type: the gap
+    * to each event's per-user predecessor (lag over the (ts_us,
+    * event_id) ordering contract), quantiles picked by INTEGER rank —
+    * rank ceil(p·n) computed as (p·n + 99) div 100 in pure integer
+    * math, so no interpolation float can straddle an engine ulp. The
+    * grouping key is the LATER event's type (the dwell that event
+    * terminated). Two shuffles total: the user window, then the
+    * type-partitioned rank window on (gap, event_id) — deterministic
+    * under ties. */
+  def qGapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wu = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val gaps = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"event_id", $"event_type",
+        ($"ts_us" - lag($"ts_us", 1).over(wu)).as("gap_us"))
+      .filter($"gap_us".isNotNull)
+    val wt = Window.partitionBy($"event_type")
+    val ranked = gaps
+      .withColumn("rn",
+        row_number().over(wt.orderBy($"gap_us".asc, $"event_id".asc)))
+      .withColumn("n", count(lit(1)).over(wt))
+    ranked
+      .filter($"rn" === expr("(50 * n + 99) div 100") ||
+        $"rn" === expr("(90 * n + 99) div 100") ||
+        $"rn" === expr("(99 * n + 99) div 100"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_gaps"),
+        min(when($"rn" === expr("(50 * n + 99) div 100"), $"gap_us"))
+          .as("p50_us"),
+        min(when($"rn" === expr("(90 * n + 99) div 100"), $"gap_us"))
+          .as("p90_us"),
+        min(when($"rn" === expr("(99 * n + 99) div 100"), $"gap_us"))
+          .as("p99_us"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> (qFunnel _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_gap_percentiles" -> (qGapPercentiles _),
     "q_timed_conversion" -> (qTimedConversion _),
     "q_retention" -> (qRetention _),
     "q_group_sample" -> (qGroupSample _),
@@ -861,6 +927,44 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+        |      AS to_type
+        |  FROM e),
+        |m AS (SELECT from_type, to_type, count(*) AS cnt FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |    sum(cnt) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM m
+        |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""".stripMargin,
+    "q_gap_percentiles" ->
+      """WITH e AS (SELECT event_id, event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT event_id, event_type,
+        |    ts_us - lag(ts_us, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+        |      AS gap_us
+        |  FROM e),
+        |r AS (SELECT event_type, gap_us, event_id,
+        |    row_number() OVER
+        |      (PARTITION BY event_type ORDER BY gap_us ASC, event_id ASC)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, max(n) AS n_gaps,
+        |  min(CASE WHEN rn = (50 * n + 99) // 100 THEN gap_us END) AS p50_us,
+        |  min(CASE WHEN rn = (90 * n + 99) // 100 THEN gap_us END) AS p90_us,
+        |  min(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS p99_us
+        |FROM r
+        |WHERE rn = (50 * n + 99) // 100 OR rn = (90 * n + 99) // 100
+        |   OR rn = (99 * n + 99) // 100
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "q_timed_conversion" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
