@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators for the LLM-data pipeline (SURVEY.md
@@ -378,6 +379,102 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L38 — Moore-Lewis / DSIR-style contrastive data selection: score
+    * each doc by its average token log-likelihood RATIO between an
+    * in-domain unigram LM (here: docs from source 'src0' — the
+    * curated-slice stand-in) and the general corpus LM, both add-one
+    * smoothed over the corpus vocabulary. Positive score = reads like
+    * the target domain; the classic cheap selector for "find more
+    * data that looks like my good data" at corpus scale.
+    *
+    * Plan: one token explode feeds BOTH LMs (general counts, then the
+    * in-domain counts off a filtered second scan of the small slice);
+    * the three normalizers (general total, in-domain total, vocab
+    * size) collapse into ONE broadcast scalar row; tokens re-join the
+    * two count tables by UNHINTED shuffle joins — vocabulary tables
+    * are corpus-derived and never hint-broadcast. One doc-keyed avg.
+    * ln of identical double ratios on both engines, rounded at 6
+    * after the avg; ORDER BY integer doc_id only. */
+  def qMooreLewis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val t = docs.select($"doc_id", explode(toks($"text")).as("tok"))
+    val gen = t.groupBy($"tok").agg(count(lit(1)).as("cg"))
+    val ind = docs.filter($"source" === "src0")
+      .select(explode(toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("ci"))
+    val scalars = gen.agg(sum($"cg").as("tg"), count(lit(1)).as("v"))
+      .crossJoin(ind.agg(coalesce(sum($"ci"), lit(0L)).as("ti")))
+    t.join(gen, "tok")
+      .join(ind, Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("llr",
+        log((coalesce($"ci", lit(0L)) + lit(1L)).cast("double") /
+          ($"ti" + $"v")) -
+        log(($"cg" + lit(1L)).cast("double") / ($"tg" + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), round(avg($"llr"), 6).as("ml_score"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L39 — per-doc token Shannon entropy + type-token ratio: the
+    * lexical-diversity quality signal (spam and keyword-stuffed docs
+    * sit at the low-entropy tail; boilerplate-heavy docs at low TTR).
+    * entropy = ln(n) − Σ c·ln(c) / n over per-doc token counts — one
+    * (doc, tok) hash-agg then one doc-keyed fold, both map-side
+    * combinable; no window, no join. Floats rounded at 6 after the
+    * fold; ORDER BY integer doc_id. */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum($"c".cast("double") * log($"c")).as("s"))
+      .select($"doc_id", $"n_toks", $"n_types",
+        round(log($"n_toks") - $"s" / $"n_toks", 6).as("entropy"),
+        round($"n_types".cast("double") / $"n_toks", 6).as("ttr"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** L41 — per-language robust length band (the "drop the truncated
+    * and the concatenated junk" curation filter): keep docs whose
+    * n_chars lies inside the per-lang [p05, p95] band, with the
+    * percentile picked by INTEGER rank — rank ceil(p·n) computed as
+    * (p·n + 99) div 100 in pure integer math, deterministic under
+    * ties via (n_chars, doc_id) ordering — so no interpolation float
+    * can straddle an engine ulp. Two lang-partitioned windows (rank +
+    * count) over (doc_id, lang, n_chars) triples, then the per-lang
+    * bounds re-join the metadata — a #langs-row table Catalyst
+    * auto-broadcasts without a hint. Bodies never move. */
+  def qLengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val w = Window.partitionBy($"lang")
+    val ranked = meta
+      .withColumn("rn",
+        row_number().over(w.orderBy($"n_chars".asc, $"doc_id".asc)))
+      .withColumn("n", count(lit(1)).over(w))
+    val bounds = ranked
+      .filter($"rn" === expr("(5 * n + 99) div 100") ||
+        $"rn" === expr("(95 * n + 99) div 100"))
+      .groupBy($"lang")
+      .agg(min(when($"rn" === expr("(5 * n + 99) div 100"), $"n_chars"))
+          .as("lo"),
+        min(when($"rn" === expr("(95 * n + 99) div 100"), $"n_chars"))
+          .as("hi"))
+    meta.join(bounds, "lang")
+      .groupBy($"lang")
+      .agg(min($"lo").as("lo"), min($"hi").as("hi"),
+        sum(($"n_chars" >= $"lo" && $"n_chars" <= $"hi").cast("long"))
+          .as("n_kept"),
+        sum(($"n_chars" < $"lo" || $"n_chars" > $"hi").cast("long"))
+          .as("n_dropped"))
+      .orderBy($"lang".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_unigram_lm" -> (qUnigramLm _),
@@ -393,9 +490,66 @@ object Corpus {
     "q_bigram_freq" -> (qBigramFreq _),
     "q_edit_distance" -> (qEditDistance _),
     "q_pmi" -> (qPmi _),
+    "q_moore_lewis" -> (qMooreLewis _),
+    "q_token_entropy" -> (qTokenEntropy _),
+    "q_length_trim" -> (qLengthTrim _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_moore_lewis" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |gen AS (SELECT tok, count(*) AS cg FROM t GROUP BY tok),
+        |ind AS (SELECT tok, count(*) AS ci
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+        |          AS tok
+        |        FROM documents WHERE source = 'src0')
+        |  GROUP BY tok),
+        |s AS (SELECT
+        |    (SELECT CAST(sum(cg) AS BIGINT) FROM gen) AS tg,
+        |    (SELECT count(*) FROM gen) AS v,
+        |    (SELECT CAST(coalesce(sum(ci), 0) AS BIGINT) FROM ind) AS ti)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(avg(ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
+        |    - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))), 6) AS ml_score
+        |FROM t JOIN gen USING (tok) LEFT JOIN ind USING (tok) CROSS JOIN s
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS DOUBLE) * ln(c)) AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_toks, n_types,
+        |  round(ln(n_toks) - s / n_toks, 6) AS entropy,
+        |  round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr
+        |FROM a
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_length_trim" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER
+        |      (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    min(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END) AS lo,
+        |    min(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS hi
+        |  FROM r
+        |  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+        |  GROUP BY lang)
+        |SELECT lang, min(lo) AS lo, min(hi) AS hi,
+        |  CAST(sum(CASE WHEN n_chars >= lo AND n_chars <= hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM documents JOIN b USING (lang)
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "q_unigram_lm" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -41,6 +41,28 @@ object Text {
       .orderBy($"content_hash".asc_nulls_first)
   }
 
+  /** L1+ — dedup SAVINGS accounting (the observability face of L1):
+    * per source, how many docs are exact dupes of an earlier doc
+    * (first-wins by doc_id within the same canonical sha2) and how
+    * many bytes a dedup pass would drop. One window over the digest
+    * partition — the shuffle carries (digest, doc_id, source,
+    * n_chars), never bodies — then a source-keyed agg. At 100 TB this
+    * is the report a curation run publishes next to its output. */
+  def qDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wd = Window.partitionBy($"dg")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        sha2(lower(trim($"text")), 256).as("dg"))
+      .withColumn("keeper", min($"doc_id").over(wd))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"doc_id" =!= $"keeper").cast("long")).as("n_dupes"),
+        sum(when($"doc_id" =!= $"keeper", $"n_chars").otherwise(lit(0L)))
+          .as("bytes_saved"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   /** L4 — corpus token frequency: explode + count + top-50 (Catalyst
     * rewrites orderBy+limit to TakeOrderedAndProject). */
   def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
@@ -749,8 +771,31 @@ object Text {
       .orderBy($"cluster_id".asc_nulls_first)
   }
 
+  /** L19 consumer — duplicate-INFLATION profile: the cluster-size
+    * histogram over the whole corpus, singletons included (docs with
+    * no near-dup edge form their own cluster). The number a pipeline
+    * owner reads as "how much of my corpus is copies": n_docs at
+    * size ≥ 2 over total. Reuses the memoized CC fixpoint — in-suite
+    * the iteration is paid once by whichever cluster query runs
+    * first — then two tiny aggs (cluster grain, size grain). The
+    * left join ships (doc_id, label) pairs only. */
+  def qClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = clusterLabels(spark, dir)
+    val sizes = Tables.documents(spark, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce($"cluster_id", $"doc_id").as("cid"))
+      .groupBy($"cid").agg(count(lit(1)).as("size"))
+    sizes.groupBy($"size")
+      .agg(count(lit(1)).as("n_clusters"),
+        ($"size" * count(lit(1))).cast("long").as("n_docs"))
+      .orderBy($"size".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_exact_dedup" -> (qExactDedup _),
+    "q_dedup_savings" -> (qDedupSavings _),
+    "q_cluster_sizes" -> (qClusterSizes _),
     "q_token_freq" -> (qTokenFreq _),
     "q_doc_stats" -> (qDocStats _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -782,6 +827,18 @@ object Text {
         |FROM documents
         |GROUP BY content_hash
         |ORDER BY content_hash ASC NULLS FIRST""".stripMargin,
+    "q_dedup_savings" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    sha256(lower(trim(text))) AS dg FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY dg) AS keeper FROM h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dupes,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS bytes_saved
+        |FROM k GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_token_freq" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
@@ -1111,6 +1168,47 @@ object Text {
         |SELECT v AS doc_id, min(lbl) AS cluster_id
         |FROM walk GROUP BY v
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 63) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bp,
+        |    (simhash >> (bp * 16)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) s(bp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x
+        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT da, db FROM cand
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |walk(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src),
+        |lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id
+        |  FROM walk GROUP BY v),
+        |asn AS (SELECT d.doc_id,
+        |    coalesce(lab.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |cs AS (SELECT cid, count(*) AS size FROM asn GROUP BY cid)
+        |SELECT size, count(*) AS n_clusters,
+        |  CAST(size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY size
+        |ORDER BY size ASC NULLS FIRST""".stripMargin,
     "q_keep_canonical" ->
       """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
