@@ -217,8 +217,11 @@ class OpsSpec extends SparkSuite with Matchers {
     // is adjudicated onto the whitelist below.
     val whitelist = Set(
       // 1-row scalar aggregates cross-joined onto every row
+      // (q_moore_lewis's build is a crossJoin of two groupless aggs —
+      // still exactly one row at any scale factor)
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
       "q_idle_customers", "q_part_share", "q_top_supplier",
+      "q_moore_lewis",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
