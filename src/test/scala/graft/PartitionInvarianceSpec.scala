@@ -32,7 +32,11 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_semantic_dedup",  // min_by argmin keeper ties + centroid sums
     "q_basket_pairs",    // size-adaptive salted pair build
     "q_oov_rate",        // top-K vocab via orderBy+limit ties
-    "q_gopher_rules")    // per-doc top-token argmax
+    "q_gopher_rules",    // per-doc top-token argmax
+    "q_gap_percentiles", // integer-rank quantile picks under gap ties
+    "q_length_trim",     // per-lang rank-based percentile bounds
+    "q_cluster_sizes",   // histogram over the iterative CC fixpoint
+    "q_moore_lewis")     // two-LM join + scalar-broadcast normalizers
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
