@@ -886,10 +886,70 @@ object Analytics {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** A23 — winsorized per-type value statistics: clamp each value to
+    * the rank-picked [p05, p95] of its event type before averaging —
+    * the robust-mean profile a metrics pipeline publishes when a few
+    * runaway values would otherwise dominate. The bounds are ACTUAL
+    * data values (integer-rank pick, (value, event_id) tie-break —
+    * no interpolation float), the clamp is least/greatest of existing
+    * doubles, and only the final avg is rounded (6). Bounds table is
+    * |types| rows — auto-broadcast, unhinted. */
+  def qWinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+    val wt = Window.partitionBy($"event_type")
+    val ranked = ev
+      .withColumn("rn",
+        row_number().over(wt.orderBy($"value".asc, $"event_id".asc)))
+      .withColumn("n", count(lit(1)).over(wt))
+    val bounds = ranked
+      .filter($"rn" === expr("(5 * n + 99) div 100") ||
+        $"rn" === expr("(95 * n + 99) div 100"))
+      .groupBy($"event_type")
+      .agg(min(when($"rn" === expr("(5 * n + 99) div 100"), $"value"))
+          .as("lo"),
+        min(when($"rn" === expr("(95 * n + 99) div 100"), $"value"))
+          .as("hi"))
+    ev.join(bounds, "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(least(greatest($"value", $"lo"), $"hi")), 6)
+          .as("winsorized_mean"),
+        sum(($"value" < $"lo" || $"value" > $"hi").cast("long"))
+          .as("n_clamped"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  /** A24 — recency-decayed engagement score: Σ value · 2^(−weeks_ago)
+    * per user, weeks_ago in pure integer µs arithmetic against the
+    * stream's max timestamp (a broadcast 1-row scalar). The decay
+    * weight is a power of two with an INTEGER exponent — exactly
+    * representable in IEEE double on both engines, so the only
+    * rounding surface is the final 6-decimal round of the sum. One
+    * fact pass + one user-keyed agg; the "which users are still warm"
+    * feature every engagement pipeline derives. */
+  def qRecencyScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"value", unix_micros($"ts").as("ts_us"))
+    val maxTs = ev.agg(max($"ts_us").as("max_us"))
+    ev.crossJoin(broadcast(maxTs))
+      .withColumn("wk",
+        expr("(max_us - ts_us) div 604800000000")) // 7*86400*1e6 µs
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value" * pow(lit(0.5), $"wk".cast("int"))), 6)
+          .as("recency_score"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> (qFunnel _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_gap_percentiles" -> (qGapPercentiles _),
+    "q_winsorized_stats" -> (qWinsorizedStats _),
+    "q_recency_score" -> (qRecencyScore _),
     "q_timed_conversion" -> (qTimedConversion _),
     "q_retention" -> (qRetention _),
     "q_group_sample" -> (qGroupSample _),
@@ -927,6 +987,37 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorized_stats" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+        |    row_number() OVER
+        |      (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+        |    min(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+        |  FROM r
+        |  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+        |  GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(least(greatest(value, lo), hi)), 6) AS winsorized_mean,
+        |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped
+        |FROM events JOIN b USING (event_type)
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "q_recency_score" ->
+      """WITH e AS (SELECT user_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |m AS (SELECT max(ts_us) AS max_us FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value *
+        |    pow(0.5, CAST((max_us - ts_us) // 604800000000 AS INTEGER))),
+        |    6) AS recency_score
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -210,7 +210,38 @@ object Joins {
       .orderBy($"key".asc_nulls_first)
   }
 
+  /** J14 — referential-integrity audit: orphan counts across the
+    * star schema's three hottest edges (orders→customer,
+    * lineitem→part, lineitem→orders), plus the totals that make the
+    * rates readable. Three LEFT ANTI joins — each an unhinted shuffle
+    * hash join on its key at 100 TB — reduced to 1-row counts and
+    * cross-joined into a single report row; all-integer output. The
+    * check an ingest pipeline runs before promoting a snapshot. */
+  def qJoinCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val a = orders
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_order_cust"))
+    val b = lineitem
+      .join(Tables.part(spark, dir),
+        $"l_partkey" === $"p_partkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_line_part"))
+    val c = lineitem
+      .join(orders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_line_order"))
+    val tot = orders.agg(count(lit(1)).as("n_orders"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n_lineitem")))
+    a.crossJoin(b).crossJoin(c).crossJoin(tot)
+      .select($"n_orders", $"n_lineitem", $"orphan_order_cust",
+        $"orphan_line_part", $"orphan_line_order")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_coverage" -> (qJoinCoverage _),
     "q_full_outer" -> (qFullOuter _),
     "q_broadcast_join" -> (qBroadcastJoin _),
     "q_left_join_coalesce" -> (qLeftJoinCoalesce _),
@@ -226,6 +257,19 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_coverage" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orphan_order_cust,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS orphan_line_part,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_line_order""".stripMargin,
     "q_full_outer" ->
       """WITH a AS (SELECT o_custkey AS key, count(*) AS n_orders
         |  FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey),

@@ -283,6 +283,38 @@ object Text {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L8 consumer — language-ID CONFUSION MATRIX: the lexicon-voting
+    * prediction (same argmax contract as qLangId) cross-tabbed
+    * against the metadata label — the eval a pipeline runs before
+    * trusting a classifier to route 100 TB by language. Same plan as
+    * qLangId (broadcast lexicon, doc-keyed argmax window) plus one
+    * ≤|langs|²-row count agg; all-integer output. */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Seq(
+      ("the", "en"), ("a", "en"), ("of", "en"), ("and", "en"), ("to", "en"),
+      ("el", "es"), ("la", "es"), ("de", "es"), ("y", "es"), ("que", "es"),
+      ("le", "fr"), ("la", "fr"), ("de", "fr"), ("et", "fr"), ("un", "fr"),
+      ("der", "de"), ("die", "de"), ("das", "de"), ("und", "de"), ("ein", "de"),
+    ).toDF("w", "wlang")
+    val docs = Tables.documents(spark, dir)
+    val hits = docs
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .join(broadcast(lex), $"tok" === $"w")
+      .groupBy($"doc_id", $"wlang")
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"n_hits".desc, $"wlang".asc)
+    val best = hits.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id".as("h_doc"), $"wlang")
+    docs.join(best, $"doc_id" === $"h_doc", "left_outer")
+      .select($"lang".as("true_lang"),
+        coalesce($"wlang", lit("und")).as("pred_lang"))
+      .groupBy($"true_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"true_lang".asc_nulls_first, $"pred_lang".asc_nulls_first)
+  }
+
   /** [EXT] quality scoring: type-token ratio + stopword ratio folded
     * into one score. Pure array expressions (filter/array_distinct) —
     * no explode, no shuffle: per-row codegen only. */
@@ -803,6 +835,7 @@ object Text {
     "q_oov_rate" -> (qOovRate _),
     "q_token_budget" -> (qTokenBudget _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -936,6 +969,26 @@ object Text {
         |FROM documents d
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH lex(w, wlang) AS (VALUES
+        |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
+        |  ('el','es'),('la','es'),('de','es'),('y','es'),('que','es'),
+        |  ('le','fr'),('la','fr'),('de','fr'),('et','fr'),('un','fr'),
+        |  ('der','de'),('die','de'),('das','de'),('und','de'),('ein','de')),
+        |t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |      FROM documents),
+        |hits AS (SELECT doc_id, wlang, count(*) AS n_hits
+        |  FROM t JOIN lex ON tok = w GROUP BY doc_id, wlang),
+        |best AS (SELECT doc_id, wlang, n_hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, wlang ASC) AS rn
+        |  FROM hits)
+        |SELECT d.lang AS true_lang,
+        |  coalesce(b.wlang, 'und') AS pred_lang,
+        |  count(*) AS n_docs
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |GROUP BY true_lang, pred_lang
+        |ORDER BY true_lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), ' +') AS tk
