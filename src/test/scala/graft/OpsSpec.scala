@@ -221,7 +221,7 @@ class OpsSpec extends SparkSuite with Matchers {
       // still exactly one row at any scale factor)
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
       "q_idle_customers", "q_part_share", "q_top_supplier",
-      "q_moore_lewis",
+      "q_moore_lewis", "q_recency_score",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
@@ -229,7 +229,8 @@ class OpsSpec extends SparkSuite with Matchers {
       // per-event-type stats — bounded by the type vocabulary, not rows
       "q_anomaly", "q_histogram",
       // lexicon / config-defaults / benchmark-gram / mixture-weight dims
-      "q_lang_id", "q_default_overlay", "q_contamination", "q_mixture_sample",
+      "q_lang_id", "q_lang_confusion", "q_default_overlay",
+      "q_contamination", "q_mixture_sample",
       // broadcast query sets and k-row centroid/index metadata;
       // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",

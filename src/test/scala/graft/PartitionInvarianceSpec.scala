@@ -36,7 +36,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_gap_percentiles", // integer-rank quantile picks under gap ties
     "q_length_trim",     // per-lang rank-based percentile bounds
     "q_cluster_sizes",   // histogram over the iterative CC fixpoint
-    "q_moore_lewis")     // two-LM join + scalar-broadcast normalizers
+    "q_moore_lewis",     // two-LM join + scalar-broadcast normalizers
+    "q_winsorized_stats", // rank-picked clamp bounds under value ties
+    "q_lang_confusion")  // per-doc argmax feeding a cross-tab
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
