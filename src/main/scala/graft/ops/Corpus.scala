@@ -475,7 +475,64 @@ object Corpus {
       .orderBy($"lang".asc_nulls_first)
   }
 
+  /** L44 — Zipf's-law fit per source: regr_slope/regr_r2 of
+    * ln(freq) on ln(rank) over each source's top-100 tokens — the
+    * "does this source look like natural language" corpus-health
+    * gauge (machine-generated or template spam flattens the curve).
+    * Ranks are integer row_numbers with a (count desc, token asc)
+    * tie-break, the regression inputs are ln of exact longs, and the
+    * sums span ≤100 terms per source, so round(6) absorbs
+    * accumulation-order ulp. One token shuffle + one source-keyed
+    * window over the (source, token, count) grain — bodies never
+    * move, and per-source term tables stay small at any corpus size
+    * because the rank cap is structural. */
+  def qZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"source", explode(toks($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"c".desc, $"tok".asc)
+    tf.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 100)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log($"c"), log($"rnk")), 6).as("zipf_slope"),
+        round(regr_r2(log($"c"), log($"rnk")), 6).as("zipf_r2"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  /** L45 — per-source KL divergence from the corpus token
+    * distribution: Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the drift monitor a
+    * curation pipeline watches to catch a source whose content shifted
+    * under it. Every probability is a ratio of exact longs; the only
+    * float surface is ln and the final sum, rounded at 6. The
+    * (source, token) counts join the corpus-token counts UNHINTED on
+    * the token key (corpus-derived — never broadcast by doctrine);
+    * the 1-row corpus total is the admitted broadcast-scalar shape.
+    * Per-source totals are a #sources-row aggregate joined on source.
+    * All shuffles carry (token, count) pairs — never bodies. */
+  def qKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"source", explode(toks($"text")).as("tok"))
+    val st = t.groupBy($"source", $"tok").agg(count(lit(1)).as("cs"))
+    val stot = st.groupBy($"source").agg(sum($"cs").as("ns"))
+    val c = t.groupBy($"tok").agg(count(lit(1)).as("cc"))
+    val tot = c.agg(sum($"cc").as("n"))
+    st.join(c, "tok")
+      .join(stot, "source")
+      .crossJoin(broadcast(tot))
+      .groupBy($"source")
+      .agg(min($"ns").as("n_tokens"),
+        round(sum(($"cs" / $"ns") *
+          log(($"cs" / $"ns") / ($"cc" / $"n"))), 6).as("kl_nats"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zipf_slope" -> (qZipfSlope _),
+    "q_kl_divergence" -> (qKlDivergence _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_ngram_coverage" -> (qNgramCoverage _),
@@ -496,6 +553,38 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_slope" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |r AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, tok ASC) AS rnk
+        |  FROM tf)
+        |SELECT source, count(*) AS n_terms,
+        |  round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rnk)), 6) AS zipf_r2
+        |FROM r WHERE rnk <= 100
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q_kl_divergence" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS cs FROM t GROUP BY source, tok),
+        |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |  FROM st GROUP BY source),
+        |c AS (SELECT tok, count(*) AS cc FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM c)
+        |SELECT st.source, min(ns) AS n_tokens,
+        |  round(sum((cs / ns) * ln((cs / ns) / (cc / n))), 6) AS kl_nats
+        |FROM st
+        |JOIN c ON st.tok = c.tok
+        |JOIN stot ON st.source = stot.source
+        |CROSS JOIN tot
+        |GROUP BY st.source
+        |ORDER BY st.source ASC NULLS FIRST""".stripMargin,
     "q_moore_lewis" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

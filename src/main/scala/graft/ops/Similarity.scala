@@ -285,7 +285,63 @@ object Similarity {
     sse
   }
 
+  /** L46 — per-label embedding norm profile: the sanity dashboard an
+    * embedding pipeline publishes before anyone trusts cosine math on
+    * the collection (un-normalized or collapsed vectors show up here
+    * first). Per-vector ||v|| from one posexplode + keyed agg, then a
+    * per-label rollup — no joins, no windows, two map-side-combinable
+    * hash-aggs; round(4) after the min/avg/max absorbs
+    * accumulation-order ulp exactly as the cosine family does. */
+  def qVectorNorms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", explode($"embedding").as("x"))
+      .select($"vec_id", $"label", $"x".cast("double").as("x"))
+      .groupBy($"vec_id", $"label")
+      .agg(sqrt(sum($"x" * $"x")).as("nrm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min($"nrm"), 4).as("min_norm"),
+        round(avg($"nrm"), 4).as("avg_norm"),
+        round(max($"nrm"), 4).as("max_norm"))
+      .orderBy($"label".asc_nulls_first)
+  }
+
+  /** L47 — int8 scalar quantization accounting: per-vector [min, max]
+    * range quantization to 256 levels (the storage-shrink every
+    * large ANN deployment applies), reported as all-INTEGER per-vector
+    * facts — dim, Σcode, saturated/zero bucket counts — so the oracle
+    * comparison has zero float surface beyond the IEEE-exact
+    * (x−mn)/((mx−mn)/255) double chain, identical on both engines
+    * (float32 widens to double exactly; floor is exact). The min/max
+    * table is per-vector (vec_id-keyed agg joined back UNHINTED on
+    * vec_id — co-partitioned, no broadcast); degenerate constant
+    * vectors quantize to all-zero codes explicitly. */
+  def qQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pe = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", explode($"embedding").as("xf"))
+      .select($"vec_id", $"label", $"xf".cast("double").as("x"))
+    val mm = pe.groupBy($"vec_id".as("m_id"))
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    pe.join(mm, $"vec_id" === $"m_id")
+      .withColumn("code",
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(
+            floor(($"x" - $"mn") / (($"mx" - $"mn") / lit(255.0d)))
+              .cast("long"),
+            lit(255L))))
+      .groupBy($"vec_id", $"label")
+      .agg(count(lit(1)).as("dim"),
+        sum($"code").as("code_sum"),
+        sum(($"code" === 255L).cast("long")).as("n_saturated"),
+        sum(($"code" === 0L).cast("long")).as("n_zero"))
+      .orderBy($"vec_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vector_norms" -> (qVectorNorms _),
+    "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
@@ -321,6 +377,39 @@ object Similarity {
        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_vector_norms" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, label, sqrt(sum(x * x)) AS nrm
+        |  FROM pe GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM norms
+        |GROUP BY label
+        |ORDER BY label ASC NULLS FIRST""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |mm AS (SELECT vec_id AS m_id, min(x) AS mn, max(x) AS mx
+        |  FROM pe GROUP BY vec_id),
+        |codes AS (SELECT vec_id, label,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE least(CAST(floor((x - mn) / ((mx - mn) / 255.0))
+        |        AS BIGINT), 255) END AS code
+        |  FROM pe JOIN mm ON vec_id = m_id)
+        |SELECT vec_id, label, count(*) AS dim,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(sum(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_saturated,
+        |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero
+        |FROM codes
+        |GROUP BY vec_id, label
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "q_cosine_topk" -> oracleCosine(""),
     "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
     "q_ann_lsh" -> {

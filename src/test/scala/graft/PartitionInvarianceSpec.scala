@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_cluster_sizes",   // histogram over the iterative CC fixpoint
     "q_moore_lewis",     // two-LM join + scalar-broadcast normalizers
     "q_winsorized_stats", // rank-picked clamp bounds under value ties
-    "q_lang_confusion")  // per-doc argmax feeding a cross-tab
+    "q_lang_confusion",  // per-doc argmax feeding a cross-tab
+    "q_zipf_slope",      // top-100 rank cut under count ties
+    "q_kl_divergence")   // ln-sum accumulation across partitions
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
