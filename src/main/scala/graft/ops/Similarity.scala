@@ -339,7 +339,48 @@ object Similarity {
       .orderBy($"vec_id".asc_nulls_first)
   }
 
+  /** L48 — ANN recall eval: recall@3 of the IVF single-probe path
+    * (q_ann_ivf) against the exact brute-force ground truth
+    * (q_cosine_topk), per query vector — the metric that decides
+    * whether an index's probe budget is safe to ship. ONE scoring
+    * pass (the admitted broadcast-query-set BNLJ, same shape as
+    * q_cosine_topk) feeds BOTH rankings via two q_id-keyed windows
+    * (overall rank; rank within the query's own cell) — no self-join,
+    * no second corpus pass. At 100 TB the eval runs over a sampled
+    * query set exactly like this one; ground truth is inherently a
+    * full scan per query, which is why it is an EVAL, not the serving
+    * path. Integer hit counts; the only float is the final ratio of
+    * two exact longs. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val c = base.select($"vec_id".as("c_id"), $"label",
+      $"vec".as("cv"), $"nrm".as("cn"))
+    val scored = c.join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("dot", expr("graft_dot(qv, cv)"))
+      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4))
+      .withColumn("same", $"label" === $"q_label")
+    val wAll = Window.partitionBy($"q_id")
+      .orderBy($"sim".desc, $"c_id".asc)
+    val wSame = Window.partitionBy($"q_id", $"same")
+      .orderBy($"sim".desc, $"c_id".asc)
+    scored
+      .withColumn("rall", row_number().over(wAll))
+      .withColumn("rsame", row_number().over(wSame))
+      .groupBy($"q_id")
+      .agg(sum(($"rall" <= 3).cast("long")).as("n_exact"),
+        sum(($"same" && $"rsame" <= 3).cast("long")).as("n_probe"),
+        sum(($"rall" <= 3 && $"same" && $"rsame" <= 3).cast("long"))
+          .as("n_hits"))
+      .withColumn("recall_at_3", round($"n_hits" / $"n_exact", 4))
+      .orderBy($"q_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ann_recall" -> (qAnnRecall _),
     "q_vector_norms" -> (qVectorNorms _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_cosine_topk" -> (qCosineTopk _),
@@ -377,6 +418,46 @@ object Similarity {
        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM pe GROUP BY vec_id),
+        |labels AS (SELECT DISTINCT vec_id, label FROM embeddings),
+        |d AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    sum(q.x * c.x) AS dot
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |s AS (SELECT q_id, c_id,
+        |    round(dot / (nq.nrm * nc.nrm), 4) AS sim,
+        |    lq.label = lc.label AS same
+        |  FROM d
+        |  JOIN norms nq ON q_id = nq.vec_id
+        |  JOIN norms nc ON c_id = nc.vec_id
+        |  JOIN labels lq ON q_id = lq.vec_id
+        |  JOIN labels lc ON c_id = lc.vec_id),
+        |r AS (SELECT q_id, same,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id ASC) AS rall,
+        |    row_number() OVER (PARTITION BY q_id, same
+        |      ORDER BY sim DESC, c_id ASC) AS rsame
+        |  FROM s)
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rall <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN same AND rsame <= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_probe,
+        |  CAST(sum(CASE WHEN rall <= 3 AND same AND rsame <= 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(CAST(sum(CASE WHEN rall <= 3 AND same AND rsame <= 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) /
+        |    CAST(sum(CASE WHEN rall <= 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    4) AS recall_at_3
+        |FROM r GROUP BY q_id
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q_vector_norms" ->
       """WITH pe AS (SELECT vec_id, label,
         |    CAST(unnest(embedding) AS DOUBLE) AS x

@@ -434,6 +434,33 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L6 consumer — cross-source duplication matrix: the LSH band
+    * candidates rolled up to (source, source) counts — which sources
+    * copy which, the provenance question a curation team asks before
+    * deciding whose duplicates to keep. Pair sources attach via two
+    * UNHINTED equi-joins on the doc id (the (doc_id, source) meta is
+    * corpus-proportional — shuffle by doctrine); least/greatest
+    * canonicalizes the pair so the matrix is triangular. Output is
+    * ≤ |sources|² integer rows; the pair surface stays banded
+    * (Σ|bucket|²), never corpus-quadratic. */
+  def qDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val pairs = sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("da"), $"source".as("sa")), "da")
+      .join(src.select($"doc_id".as("db"), $"source".as("sb")), "db")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a".asc_nulls_first, $"src_b".asc_nulls_first)
+  }
+
   /** L2+L6 — the END-TO-END 100 TB dedup pipeline in one query:
     * LSH band collisions bucket the corpus, then each non-representative
     * doc is exact-Jaccard re-ranked against its bucket's REPRESENTATIVE
@@ -843,6 +870,7 @@ object Text {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
@@ -1112,6 +1140,29 @@ object Text {
         |SELECT x.doc_id AS da, y.doc_id AS db, x.band AS band
         |FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_dup_matrix" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |p AS (SELECT x.doc_id AS da, y.doc_id AS db
+        |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id),
+        |m AS (SELECT least(s1.source, s2.source) AS src_a,
+        |    greatest(s1.source, s2.source) AS src_b
+        |  FROM p
+        |  JOIN documents s1 ON p.da = s1.doc_id
+        |  JOIN documents s2 ON p.db = s2.doc_id)
+        |SELECT src_a, src_b, count(*) AS n_pairs
+        |FROM m GROUP BY src_a, src_b
+        |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin,
     "q_lsh_neardup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

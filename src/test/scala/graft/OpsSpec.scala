@@ -77,7 +77,9 @@ class OpsSpec extends SparkSuite with Matchers {
       if (loops.exists(j => !scalarBuildSide(j) && !centroidBuildSide(j)))
         Some(name) else None
     }
-    bnlj shouldBe Seq("q_cosine_topk") // broadcast query set × corpus, by design
+    // broadcast query set × corpus, by design: the exact-cosine path
+    // and the recall EVAL that needs it as ground truth
+    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk")
   }
 
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
@@ -234,7 +236,7 @@ class OpsSpec extends SparkSuite with Matchers {
       // broadcast query sets and k-row centroid/index metadata;
       // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
-      "q_semantic_dedup", "q_oov_rate")
+      "q_ann_recall", "q_semantic_dedup", "q_oov_rate")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

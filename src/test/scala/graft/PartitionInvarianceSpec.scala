@@ -40,7 +40,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_winsorized_stats", // rank-picked clamp bounds under value ties
     "q_lang_confusion",  // per-doc argmax feeding a cross-tab
     "q_zipf_slope",      // top-100 rank cut under count ties
-    "q_kl_divergence")   // ln-sum accumulation across partitions
+    "q_kl_divergence",   // ln-sum accumulation across partitions
+    "q_ann_recall",      // two rank windows over rounded sims
+    "q_dup_matrix")      // banded pair counts rolled to source pairs
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
