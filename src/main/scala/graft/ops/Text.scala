@@ -434,6 +434,35 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L6 recall knob — multi-band LSH (b=2 bands of r=2 hashes):
+    * a doc becomes a candidate if EITHER band collides, trading
+    * precision for recall against q_minhash_dedup's single b=1/r=4
+    * band (collision probability 2J²−J⁴ vs J⁴ at Jaccard J). On a
+    * corpus with dense near-identical clusters the RAW pair surface
+    * of r=2 bands is quadratic-in-cluster (7.7M pairs at sf0.1 —
+    * measured), so this emits the STAR-REDUCED decision surface
+    * instead: each band's representative (min doc_id) claims the
+    * bucket, and the output is distinct (keeper, member) candidate
+    * edges — ≤ b×docs rows at any scale, the same reduction
+    * q_lsh_neardup applies before re-ranking. One shuffle on the
+    * composite (band_idx, band_key); buckets reduce via min, never
+    * pair-expand. */
+  def qMultibandDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir)
+      .withColumn("b0", substring(sha2(concat($"s0", $"s1"), 256), 1, 16))
+      .withColumn("b1", substring(sha2(concat($"s2", $"s3"), 256), 1, 16))
+    val bands = sig
+      .select($"doc_id", posexplode(array($"b0", $"b1")))
+      .select($"doc_id", $"pos".as("bi"), $"col".as("bk"))
+    val rep = bands.groupBy($"bi", $"bk").agg(min($"doc_id").as("rep_id"))
+    bands.join(rep, Seq("bi", "bk"))
+      .filter($"doc_id" =!= $"rep_id")
+      .select($"rep_id".as("da"), $"doc_id".as("db"))
+      .distinct()
+      .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
   /** L6 consumer — cross-source duplication matrix: the LSH band
     * candidates rolled up to (source, source) counts — which sources
     * copy which, the provenance question a curation team asks before
@@ -870,6 +899,7 @@ object Text {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_multiband_dedup" -> (qMultibandDedup _),
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_neardup" -> (qLshNeardup _),
@@ -1139,6 +1169,28 @@ object Text {
         |  FROM sig)
         |SELECT x.doc_id AS da, y.doc_id AS db, x.band AS band
         |FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_multiband_dedup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS bi, substr(sha256(s0 || s1), 1, 16) AS bk
+        |    FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS bi, substr(sha256(s2 || s3), 1, 16) AS bk
+        |    FROM sig),
+        |rep AS (SELECT bi, bk, min(doc_id) AS rep_id
+        |  FROM bands GROUP BY bi, bk)
+        |SELECT DISTINCT rep_id AS da, doc_id AS db
+        |FROM bands JOIN rep USING (bi, bk)
+        |WHERE doc_id <> rep_id
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_dup_matrix" ->
       """WITH t AS (SELECT DISTINCT doc_id,

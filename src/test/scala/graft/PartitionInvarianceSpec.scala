@@ -42,7 +42,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_zipf_slope",      // top-100 rank cut under count ties
     "q_kl_divergence",   // ln-sum accumulation across partitions
     "q_ann_recall",      // two rank windows over rounded sims
-    "q_dup_matrix")      // banded pair counts rolled to source pairs
+    "q_dup_matrix",      // banded pair counts rolled to source pairs
+    "q_multiband_dedup") // per-band min-rep claim + distinct edges
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
