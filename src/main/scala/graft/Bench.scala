@@ -48,6 +48,7 @@ object Bench {
       // so the first consumer in the pass computes, the second reuses;
       // without the clear, pass 2+ would time cache hits
       graft.ops.Text.clearLabelCache()
+      graft.ops.Text.clearSigCache()
       subset.foreach { name =>
         val t = timeOnce(SparkEntry.queries(name))
         val cur = best.getOrElse(name, Double.MaxValue)

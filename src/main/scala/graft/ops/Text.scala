@@ -397,7 +397,25 @@ object Text {
     * hash ordering), banded into one LSH bucket key. At 100 TB the
     * LSH band join replaces q_near_dup's block join: candidates =
     * docs sharing a band bucket. */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, dir), computeMinhashSigs(spark, dir))
+
+  /** Memoized per (session, dir) like [[clusterLabels]]: five
+    * registry queries (sig dump, banded candidates, multi-band,
+    * dup matrix, LSH re-rank) consume the SAME deterministic
+    * signature table, so it materializes once per session/input —
+    * the "signatures are a persisted intermediate" shape a
+    * production dedup runs (at 100 TB this is a parquet write the
+    * whole family reads). localCheckpoint keeps it distributed;
+    * [[graft.Bench]]/Profile clear the memo per pass so timings stay
+    * honest. Deterministic (pure sha2), so reuse can never change a
+    * result. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearSigCache(): Unit = sigCache.clear()
+
+  private def computeMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def mh(salt: String): Column =
       min(sha2(concat(lit(salt + ":"), $"tok"), 256))
@@ -407,6 +425,7 @@ object Text {
       .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
       .withColumn("band",
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
+      .localCheckpoint(eager = false)
   }
 
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {

@@ -25,6 +25,7 @@ object Profile {
         // each run must pay memoized shared work (CC label fixpoint)
         // itself — otherwise runs 2-3 time a cache hit
         graft.ops.Text.clearLabelCache()
+        graft.ops.Text.clearSigCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
