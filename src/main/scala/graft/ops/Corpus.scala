@@ -530,7 +530,79 @@ object Corpus {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** L51 — perplexity-decile bucketing: the curation view a
+    * perplexity filter needs BEFORE choosing its cutoff. Each doc is
+    * scored by the corpus-trained unigram LM (q_unigram_lm's exact
+    * score: mean log p over its tokens, rounded at 6), then ranked
+    * into deciles WITHIN its source — per-source because LM scores
+    * are not comparable across domains (code scores differ from prose
+    * scores; a global cutoff would empty one source before touching
+    * another, the CCNet lesson). Output is the (source, decile)
+    * profile: doc count and mean score per bucket.
+    *
+    * Plan shape: one vocabulary-keyed count agg + scalar-broadcast
+    * total + UNHINTED vocab re-join (corpus-derived — never hinted)
+    * + one doc-keyed avg — q_unigram_lm's plan — then ntile over a
+    * source-partitioned window (q_rfm's accepted shape: no
+    * unpartitioned window at any scale; each source ranks
+    * independently). Ordering inside the window is (rounded score,
+    * doc_id) — a TOTAL order, so ntile is partition-count-invariant. */
+  def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+    val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val scored = t.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id", $"source")
+      .agg(round(avg(log($"cnt".cast("double") / $"total")), 6)
+        .as("avg_logp"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"avg_logp".asc_nulls_first, $"doc_id".asc_nulls_first)
+    scored
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"avg_logp"), 6).as("mean_logp"))
+      .orderBy($"source".asc_nulls_first, $"decile".asc_nulls_first)
+  }
+
+  /** L52 — cross-source vocabulary overlap: Jaccard of the token
+    * VOCABULARIES of every source pair — the corpus-level lexical-
+    * similarity matrix (q_dup_matrix answers "who copies whose
+    * documents"; this answers "who writes in whose vocabulary" — the
+    * signal for merging near-identical crawl sources before dedup).
+    *
+    * Plan shape: one distinct projection to (source, token) pairs —
+    * vocabulary cardinality × #sources, never corpus size — then a
+    * self-equi-join ON TOKEN (each token joins to at most #sources
+    * rows, so the pair surface is Σ_tok |sources(tok)|² ≤ k²·|vocab|,
+    * linear in vocabulary). Per-source sizes attach by an UNHINTED
+    * join on source (corpus-derived); integer counts throughout,
+    * division only at the final rounded projection. */
+  def qSrcOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.documents(spark, dir)
+      .select($"source", explode(array_distinct(toks($"text"))).as("tok"))
+      .distinct()
+    val sizes = v.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = v.alias("a")
+      .join(v.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"source".as("src_a"), $"n".as("na")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+      .select($"src_a", $"src_b", $"na", $"nb", $"inter",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .orderBy($"src_a".asc_nulls_first, $"src_b".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ppl_bucket" -> (qPplBucket _),
+    "q_src_overlap" -> (qSrcOverlap _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_kl_divergence" -> (qKlDivergence _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -553,6 +625,40 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ppl_bucket" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |s AS (SELECT doc_id, source,
+        |    round(avg(ln(cnt / total)), 6) AS avg_logp
+        |  FROM t JOIN v USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id, source),
+        |d AS (SELECT source, avg_logp, ntile(10) OVER (
+        |    PARTITION BY source
+        |    ORDER BY avg_logp ASC NULLS FIRST, doc_id ASC) AS decile
+        |  FROM s)
+        |SELECT source, decile, count(*) AS n_docs,
+        |  round(avg(avg_logp), 6) AS mean_logp
+        |FROM d GROUP BY source, decile
+        |ORDER BY source ASC NULLS FIRST, decile ASC NULLS FIRST""".stripMargin,
+    "q_src_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS inter
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, sa.n AS na, sb.n AS nb, inter,
+        |  round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM i
+        |JOIN sz sa ON src_a = sa.source
+        |JOIN sz sb ON src_b = sb.source
+        |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin,
     "q_zipf_slope" ->
       """WITH t AS (SELECT source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -379,7 +379,88 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first)
   }
 
+  /** L53 — cosine calibration histogram: the distribution of cosine
+    * similarity over a deterministic linear sample of vector pairs
+    * (each id paired with its successor), binned into 20 equal-width
+    * bins over [−1, 1]. This is the eval a similarity-threshold
+    * consumer (dedup, ANN, semantic filter) runs FIRST: where the
+    * background similarity mass sits decides every threshold above
+    * (q_embed_neardup's 0.35, q_semantic_dedup's 0.2 were read off
+    * exactly this curve). Successor pairing is an EQUI-join on the id
+    * (shift one side by 1) — co-partitionable, O(N) pairs at any
+    * scale, no sampling RNG to disagree across engines. Zero-norm
+    * vectors are excluded before pairing (cosine undefined); sim is
+    * rounded at 4dp and BOTH engines bin the same rounded double with
+    * the same floor/least arithmetic, so bin edges cannot diverge. */
+  def qCosHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+      .filter($"nrm" > 0)
+      .select($"vec_id", $"vec", $"nrm")
+    val a = base.select($"vec_id".as("pid"), $"vec".as("va"), $"nrm".as("na"))
+    val b = base.select(($"vec_id" - 1).as("pid"),
+      $"vec".as("vb"), $"nrm".as("nb"))
+    a.join(b, "pid")
+      .withColumn("sim",
+        round(expr("graft_dot(va, vb)") / ($"na" * $"nb"), 4))
+      .withColumn("bin",
+        least(floor(($"sim" + 1.0) * 10), lit(19)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        round(min($"sim"), 4).as("lo"),
+        round(max($"sim"), 4).as("hi"))
+      .orderBy($"bin".asc_nulls_first)
+  }
+
+  /** L54 — k-means assignment purity: how well the learned IVF cells
+    * reproduce the ground-truth labels — THE index-quality eval run
+    * after every centroid build (q_centroids) and before trusting
+    * cell-probing ANN (q_ann_ivf). Every vector is assigned to its
+    * nearest centroid (argmin over rounded squared distance, label
+    * tie-break — q_ann_multiprobe's exact cell-ranking contract),
+    * then each cell reports its size, majority true label, and
+    * purity = majority fraction.
+    *
+    * Plan shape: centroid build = posexplode + two hash-aggs (≤
+    * cells×dims partials); assignment = corpus × k-row BROADCAST
+    * centroid table (the admitted centroid-build BNLJ shape, bounded
+    * by the index parameter k, never corpus size) folded by ONE
+    * min_by hash-agg — no window over the corpus; purity = two more
+    * hash-aggs on (cell, label) pairs, ≤ k² rows. Majority tie-break
+    * is deterministic: max over struct(n, −label) picks the larger
+    * count, then the smaller label. */
+  def qAssignPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val cents = base
+      .select($"label", posexplode($"vec").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("cl"), expr("transform(pc, e -> e.c)").as("cvec"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("dist", round(
+        expr("graft_dot(vec, vec)") - lit(2.0) * expr("graft_dot(vec, cvec)")
+          + expr("graft_dot(cvec, cvec)"), 4))
+      .groupBy($"vec_id", $"label")
+      .agg(min_by($"cl", struct($"dist", $"cl")).as("cell"))
+    assigned
+      .groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"cell")
+      .agg(sum($"n").as("n_vecs"),
+        max(struct($"n", (-$"label").cast("long").as("negl"),
+          $"label".as("lab"))).as("m"))
+      .select($"cell", $"n_vecs", $"m.lab".as("majority_label"),
+        $"m.n".as("n_majority"),
+        round($"m.n" / $"n_vecs", 4).as("purity"))
+      .orderBy($"cell".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cos_hist" -> (qCosHist _),
+    "q_assign_purity" -> (qAssignPurity _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_vector_norms" -> (qVectorNorms _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
@@ -418,6 +499,56 @@ object Similarity {
        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cos_hist" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM pe GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS pid, sum(a.x * b.x) AS dot
+        |  FROM pe a JOIN pe b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |  GROUP BY a.vec_id),
+        |s AS (SELECT round(dot / (na.nrm * nb.nrm), 4) AS sim
+        |  FROM d
+        |  JOIN norms na ON pid = na.vec_id
+        |  JOIN norms nb ON nb.vec_id = pid + 1
+        |  WHERE na.nrm > 0 AND nb.nrm > 0)
+        |SELECT CAST(least(floor((sim + 1.0) * 10), 19) AS BIGINT) AS bin,
+        |  count(*) AS n, round(min(sim), 4) AS lo, round(max(sim), 4) AS hi
+        |FROM s GROUP BY 1
+        |ORDER BY bin ASC NULLS FIRST""".stripMargin,
+    "q_assign_purity" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label AS cl, i, round(avg(x), 4) AS c
+        |  FROM pe GROUP BY label, i),
+        |vv AS (SELECT vec_id, label, sum(x * x) AS vv
+        |  FROM pe GROUP BY vec_id, label),
+        |cc AS (SELECT cl, sum(c * c) AS cc FROM cent GROUP BY cl),
+        |vc AS (SELECT p.vec_id, c.cl, sum(p.x * c.c) AS vc
+        |  FROM pe p JOIN cent c ON p.i = c.i GROUP BY p.vec_id, c.cl),
+        |d AS (SELECT vc.vec_id, vc.cl,
+        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) AS dist
+        |  FROM vc JOIN vv ON vc.vec_id = vv.vec_id JOIN cc ON vc.cl = cc.cl),
+        |asg AS (SELECT vec_id, cl AS cell FROM (
+        |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, cl ASC) AS rn FROM d)
+        |  WHERE rn = 1),
+        |j AS (SELECT asg.cell, vv.label, count(*) AS n
+        |  FROM asg JOIN vv ON asg.vec_id = vv.vec_id
+        |  GROUP BY asg.cell, vv.label),
+        |m AS (SELECT cell, label, n, row_number() OVER (PARTITION BY cell
+        |    ORDER BY n DESC, label ASC) AS rn FROM j),
+        |t AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs
+        |  FROM j GROUP BY cell)
+        |SELECT t.cell, t.n_vecs, m.label AS majority_label,
+        |  CAST(m.n AS BIGINT) AS n_majority,
+        |  round(m.n / t.n_vecs, 4) AS purity
+        |FROM t JOIN m ON t.cell = m.cell AND m.rn = 1
+        |ORDER BY t.cell ASC NULLS FIRST""".stripMargin,
     "q_ann_recall" ->
       """WITH pe AS (SELECT vec_id,
         |    generate_subscripts(embedding, 1) AS i,

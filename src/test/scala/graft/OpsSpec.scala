@@ -224,6 +224,7 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
+      "q_ppl_bucket",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
@@ -236,7 +237,8 @@ class OpsSpec extends SparkSuite with Matchers {
       // broadcast query sets and k-row centroid/index metadata;
       // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
-      "q_ann_recall", "q_semantic_dedup", "q_oov_rate")
+      "q_ann_recall", "q_semantic_dedup", "q_oov_rate",
+      "q_assign_purity")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

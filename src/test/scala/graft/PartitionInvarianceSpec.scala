@@ -43,7 +43,10 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_kl_divergence",   // ln-sum accumulation across partitions
     "q_ann_recall",      // two rank windows over rounded sims
     "q_dup_matrix",      // banded pair counts rolled to source pairs
-    "q_multiband_dedup") // per-band min-rep claim + distinct edges
+    "q_multiband_dedup", // per-band min-rep claim + distinct edges
+    "q_ppl_bucket",      // ntile over per-source LM scores
+    "q_cos_hist",        // float dot + floor bin edges
+    "q_assign_purity")   // argmin assignment ties + centroid sums
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
