@@ -600,7 +600,33 @@ object Corpus {
       .orderBy($"src_a".asc_nulls_first, $"src_b".asc_nulls_first)
   }
 
+  /** L58 — mixture-weight allocation (sqrt-scaling): the DESIGN step
+    * that precedes L24's execution — given per-source token counts,
+    * assign each source a training-mixture weight ∝ √tokens (the
+    * standard compromise between proportional sampling, which lets
+    * one giant crawl drown everything, and uniform sampling, which
+    * over-trains tiny sources), plus the integer docs-per-10k-epoch
+    * that weight buys. One source-keyed agg (≤ #sources rows), the
+    * √-sum normalizer as the admitted 1-row broadcast scalar; the
+    * only float surface is √ of exact longs summed over ≤ #sources
+    * terms, round-6 after the division — mirrored verbatim. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source", size(toks($"text")).as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    val z = per.agg(sum(sqrt($"n_tokens".cast("double"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .select($"source", $"n_docs", $"n_tokens",
+        round(sqrt($"n_tokens".cast("double")) / $"z", 6).as("weight"),
+        floor(lit(10000) * sqrt($"n_tokens".cast("double")) / $"z")
+          .cast("long").as("docs_per_10k"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_domain_mix" -> (qDomainMix _),
     "q_ppl_bucket" -> (qPplBucket _),
     "q_src_overlap" -> (qSrcOverlap _),
     "q_zipf_slope" -> (qZipfSlope _),
@@ -625,6 +651,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), ' +')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(sqrt(n_tokens)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens) / z, 6) AS weight,
+        |  CAST(floor(10000 * sqrt(n_tokens) / z) AS BIGINT)
+        |    AS docs_per_10k
+        |FROM per CROSS JOIN tot
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_ppl_bucket" ->
       """WITH t AS (SELECT doc_id, source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -458,7 +458,41 @@ object Similarity {
       .orderBy($"cell".asc_nulls_first)
   }
 
+  /** L59 — kNN label classification eval: predict each query
+    * vector's label by majority vote of its 3 exact nearest
+    * neighbors and compare to ground truth — the embedding-quality
+    * probe (if kNN can't recover labels, neither will any downstream
+    * semantic filter). Same admitted broadcast-query-set shape as
+    * q_cosine_topk/q_ann_recall (an EVAL over a sampled query set,
+    * never a serving path — the serving path is the IVF/LSH family);
+    * vote rollup is two tiny aggs on (query, label) grain. Majority
+    * tie-break = max struct(votes, −label): deterministic. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("true_label"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val c = base.select($"vec_id".as("c_id"), $"label".as("c_label"),
+      $"vec".as("cv"), $"nrm".as("cn"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    c.join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .groupBy($"q_id", $"true_label", $"c_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy($"q_id", $"true_label")
+      .agg(max(struct($"votes", (-$"c_label").cast("long").as("negl"),
+        $"c_label".as("lab"))).as("m"))
+      .select($"q_id", $"true_label", $"m.lab".as("pred_label"),
+        $"m.votes".as("n_votes"),
+        ($"m.lab" === $"true_label").cast("int").as("correct"))
+      .orderBy($"q_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_knn_classify" -> (qKnnClassify _),
     "q_cos_hist" -> (qCosHist _),
     "q_assign_purity" -> (qAssignPurity _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -499,6 +533,38 @@ object Similarity {
        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_knn_classify" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM pe GROUP BY vec_id),
+        |labels AS (SELECT DISTINCT vec_id, label FROM embeddings),
+        |d AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    sum(q.x * c.x) AS dot
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+        |  FROM d JOIN norms nq ON q_id = nq.vec_id
+        |  JOIN norms nc ON c_id = nc.vec_id),
+        |r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id ASC) AS rnk FROM s),
+        |v AS (SELECT r.q_id, lq.label AS true_label,
+        |    lc.label AS c_label, count(*) AS votes
+        |  FROM r JOIN labels lq ON r.q_id = lq.vec_id
+        |  JOIN labels lc ON r.c_id = lc.vec_id
+        |  WHERE r.rnk <= 3
+        |  GROUP BY r.q_id, lq.label, lc.label),
+        |m AS (SELECT q_id, true_label, c_label, votes,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, c_label ASC) AS rn FROM v)
+        |SELECT q_id, true_label, c_label AS pred_label,
+        |  votes AS n_votes,
+        |  CASE WHEN c_label = true_label THEN 1 ELSE 0 END AS correct
+        |FROM m WHERE rn = 1
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q_cos_hist" ->
       """WITH pe AS (SELECT vec_id,
         |    generate_subscripts(embedding, 1) AS i,

@@ -899,7 +899,53 @@ object Text {
       .orderBy($"size".asc_nulls_first)
   }
 
+  /** L56 — LSH band occupancy profile: the skew monitor a banded
+    * dedup runs BEFORE its candidate join, because the join's cost is
+    * Σ_bucket |bucket|² — this query reports exactly that quadratic,
+    * bucketed by band size: how many bands have s members, how many
+    * docs they hold, and how many candidate pairs they will emit.
+    * The 7.7M-pair measurement that forced q_multiband_dedup's star
+    * reduction IS this query's cand_pairs column. Two integer
+    * hash-aggs on the memoized signature table (band grain, then
+    * size grain — output ≤ max-band-size rows); bodies never move. */
+  def qBandStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashSigs(spark, dir)
+      .groupBy($"band").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_bands"))
+      .select($"sz", $"n_bands",
+        ($"sz" * $"n_bands").as("n_docs"),
+        expr("sz * (sz - 1) DIV 2 * n_bands").as("cand_pairs"))
+      .orderBy($"sz".asc_nulls_first)
+  }
+
+  /** L57 — dedup length-bias audit: are exact duplicates drawn from
+    * the short or the long end of each source? A dedup pass that
+    * silently drops mostly-long documents shifts the corpus length
+    * distribution — this is the check a curation team runs before
+    * trusting L1's output mix. Same digest window as q_dedup_savings
+    * (shuffle carries (digest, id, source, n_chars), never bodies),
+    * then one source-keyed agg with conditional means; a source with
+    * no dupes reports NULL avg_len_dup on both engines. */
+  def qDupBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wd = Window.partitionBy($"dg")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        sha2(lower(trim($"text")), 256).as("dg"))
+      .withColumn("is_dup",
+        ($"doc_id" > min($"doc_id").over(wd)).cast("int"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_dup").cast("long").as("n_dupes"),
+        round(avg(when($"is_dup" === 1, $"n_chars")), 2).as("avg_len_dup"),
+        round(avg(when($"is_dup" === 0, $"n_chars")), 2).as("avg_len_uniq"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_band_stats" -> (qBandStats _),
+    "q_dup_bias" -> (qDupBias _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_dedup_savings" -> (qDedupSavings _),
     "q_cluster_sizes" -> (qClusterSizes _),
@@ -931,6 +977,38 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_band_stats" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |bs AS (SELECT band, count(*) AS sz FROM b GROUP BY band)
+        |SELECT sz, count(*) AS n_bands,
+        |  sz * count(*) AS n_docs,
+        |  sz * (sz - 1) // 2 * count(*) AS cand_pairs
+        |FROM bs GROUP BY sz
+        |ORDER BY sz ASC NULLS FIRST""".stripMargin,
+    "q_dup_bias" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    sha256(lower(trim(text))) AS dg FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY dg)
+        |      THEN 1 ELSE 0 END AS is_dup FROM h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dupes,
+        |  round(avg(CASE WHEN is_dup = 1 THEN n_chars END), 2)
+        |    AS avg_len_dup,
+        |  round(avg(CASE WHEN is_dup = 0 THEN n_chars END), 2)
+        |    AS avg_len_uniq
+        |FROM k GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -78,8 +78,9 @@ class OpsSpec extends SparkSuite with Matchers {
         Some(name) else None
     }
     // broadcast query set × corpus, by design: the exact-cosine path
-    // and the recall EVAL that needs it as ground truth
-    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk")
+    // and the two EVALs that need exact ground truth (recall@k, kNN
+    // label classification) — sampled query sets, never serving paths
+    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk", "q_knn_classify")
   }
 
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
@@ -224,7 +225,7 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
-      "q_ppl_bucket",
+      "q_ppl_bucket", "q_domain_mix",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
@@ -238,7 +239,7 @@ class OpsSpec extends SparkSuite with Matchers {
       // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_recall", "q_semantic_dedup", "q_oov_rate",
-      "q_assign_purity")
+      "q_assign_purity", "q_knn_classify")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -46,7 +46,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_multiband_dedup", // per-band min-rep claim + distinct edges
     "q_ppl_bucket",      // ntile over per-source LM scores
     "q_cos_hist",        // float dot + floor bin edges
-    "q_assign_purity")   // argmin assignment ties + centroid sums
+    "q_assign_purity",   // argmin assignment ties + centroid sums
+    "q_knn_classify",    // rank ties + vote-majority ties
+    "q_domain_mix")      // sqrt-sum normalizer + floor allocation
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
