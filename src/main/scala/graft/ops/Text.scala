@@ -779,7 +779,16 @@ object Text {
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
 
-  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark, simhashPairs(spark, dir))
+
+  /** Pointer-jumping connected components over ANY (da, db) pair set
+    * — extracted from the simhash candidate generator so crafted
+    * graphs (long chains, multi-hop merges) can pin the iteration's
+    * semantics in a spec independent of the LSH front end. Returns
+    * (doc_id, cluster_id), cluster_id = min doc_id of the component. */
+  private[graft] def connectedComponents(spark: SparkSession,
+                                         pairsIn: DataFrame): DataFrame = {
     import spark.implicits._
     // cache the PAIRS, not the union: the two union branches are
     // separate plan subtrees, so an uncached union would run the
@@ -793,6 +802,15 @@ object Text {
     // re-plan. Restored in the finally.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Loop shuffle width sized to the ITERATION STATE, not the corpus:
+    // every in-loop shuffle carries label/edge tables of graph-node
+    // cardinality (≪ corpus — only near-dup cluster members appear),
+    // so the session's corpus-sized width just multiplies per-round
+    // task-scheduling overhead (measured: rounds dominated by task
+    // dispatch, not rows). A cluster run sizes this from |V| stats the
+    // same way shuffle.partitions itself is sized from data volume.
+    val spWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
     // Cache the EDGES partitioned AND sorted on the probe key: every
     // round joins edges ⋈ labels on src, and a cached partitioning +
@@ -805,14 +823,22 @@ object Text {
     // the driver than these fixed-shape tiny-side shuffles ever save.)
     // pairs cached too: the union's two branches are separate plan
     // subtrees — uncached, the banded self-join would run twice
-    val pairs = simhashPairs(spark, dir).select($"da", $"db").cache()
+    val pairs = pairsIn.select($"da", $"db").cache()
     val edges = pairs.union(pairs.select($"db", $"da"))
       .toDF("src", "dst")
       .repartition(col("src"))
       .sortWithinPartitions(col("src"))
       .cache()
-    var labels = edges.select($"src".as("v")).distinct()
-      .withColumn("lbl", $"v")
+    // Init folds the FIRST propagation round in: lbl₀ = min(v, direct
+    // neighbors) instead of the identity — one groupBy over the edge
+    // set (the same shuffle the identity init's distinct would pay,
+    // since every node appears as dst of the symmetric union) and the
+    // loop starts one hop ahead. Any init that assigns each node the
+    // min id of a node in its own component converges to the same
+    // fixpoint: min-propagation is monotone.
+    var labels = edges.groupBy($"dst")
+      .agg(min($"src").as("m"))
+      .select($"dst".as("v"), least($"dst", $"m").as("lbl"))
       .localCheckpoint()
     if (sys.props.contains("graft.cc.debug"))
       println(f"[cc] init ${(System.nanoTime() - tInit) / 1e9}%.2fs")
@@ -855,6 +881,7 @@ object Text {
     labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", spWas)
     }
   }
 

@@ -253,6 +253,21 @@ class OpsSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("connected components: min label traverses a 20-node chain; islands stay separate") {
+    // pins the ITERATION's semantics (min-neighbor init + pointer
+    // jumping) on a graph the LSH front end can't easily produce: a
+    // path needs the label to travel 19 hops, so any regression that
+    // stops propagating early (or an init that claims too much)
+    // fails here rather than only on a lucky corpus
+    import spark.implicits._
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val island = Seq((100L, 101L), (101L, 102L))
+    val labels = Text.connectedComponents(spark, (chain ++ island).toDF("da", "db"))
+      .as[(Long, Long)].collect().toMap
+    (0L to 19L).foreach(v => labels(v) shouldBe 0L)
+    Seq(100L, 101L, 102L).foreach(v => labels(v) shouldBe 100L)
+  }
+
   test("LSH banded join recovers every near-dup pair that shares a band") {
     import spark.implicits._
     val band = Text.qMinhashSig(spark, sf)
