@@ -625,7 +625,39 @@ object Corpus {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** L60 — bigram CONDITIONAL entropy H(next|cur) per doc: how
+    * predictable each next token is given the current one — the
+    * templated-text detector that unigram entropy (L39) misses: a
+    * doc cycling a fixed phrase has healthy unigram entropy but
+    * near-zero conditional entropy. H = −Σ p(c,n)·ln p(n|c), folded
+    * as −(Σ cnt·ln(cnt/ctot))/total so one (doc,c,n)-grain agg, one
+    * (doc,c)-grain agg, and one doc-grain agg cover it — bigrams are
+    * built positionally in-stage (L17's transform), shuffles carry
+    * gram counts, never text. round-6 after the full fold. */
+  def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("c"),
+          element_at($"t", i + 1).as("n")))).as("p"))
+      .select($"doc_id", $"p.c", $"p.n")
+    val cn = bg.groupBy($"doc_id", $"c", $"n").agg(count(lit(1)).as("cnt"))
+    val cc = cn.groupBy($"doc_id", $"c").agg(sum($"cnt").as("ctot"))
+    cn.join(cc, Seq("doc_id", "c"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"),
+        sum($"cnt".cast("double") *
+          log($"cnt".cast("double") / $"ctot")).as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round(-$"s" / $"n_bigrams", 6).as("h_cond"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bigram_entropy" -> (qBigramEntropy _),
     "q_domain_mix" -> (qDomainMix _),
     "q_ppl_bucket" -> (qPplBucket _),
     "q_src_overlap" -> (qSrcOverlap _),
@@ -651,6 +683,23 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_entropy" ->
+      """WITH l AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> struct_pack(c := t[i], n := t[i + 1]))) AS p
+        |  FROM l WHERE len(t) >= 2),
+        |cn AS (SELECT doc_id, p.c AS c, p.n AS n, count(*) AS cnt
+        |  FROM b GROUP BY doc_id, p.c, p.n),
+        |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot
+        |  FROM cn GROUP BY doc_id, c)
+        |SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(-sum(cnt * ln(cnt / ctot)) / sum(cnt), 6) AS h_cond
+        |FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
+        |GROUP BY cn.doc_id
+        |ORDER BY cn.doc_id ASC NULLS FIRST""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(lower(text)), ' +')))

@@ -970,7 +970,76 @@ object Text {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** L61 — LSH candidate PRECISION eval: what fraction of the band
+    * join's raw candidate pairs are true near-dups at exact-Jaccard
+    * thresholds 0.5 / 0.7 / 0.9 — the companion to q_band_stats
+    * (which predicts the candidate COUNT): together they answer "is
+    * the banding worth its cost" before a 100 TB run commits to it.
+    * Candidates that share NO token survive via a left join
+    * (coalesced to 0) — dropping them would inflate precision, the
+    * classic eval bug. Scoring joins carry (doc_id, tok) pairs only;
+    * one single-row output via conditional aggs. */
+  def qLshPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val cand = sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
+      .join(t.alias("tb"),
+        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("j", round(coalesce($"i", lit(0L)) /
+        ($"na" + $"nb" - coalesce($"i", lit(0L))), 4))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(($"j" >= 0.5).cast("long")).as("n_j50"),
+        sum(($"j" >= 0.7).cast("long")).as("n_j70"),
+        sum(($"j" >= 0.9).cast("long")).as("n_j90"))
+      .select($"n_cand", $"n_j50", $"n_j70", $"n_j90",
+        round($"n_j50" / $"n_cand", 4).as("p50"),
+        round($"n_j70" / $"n_cand", 4).as("p70"),
+        round($"n_j90" / $"n_cand", 4).as("p90"))
+  }
+
+  /** L62 — quality-vs-length correlation per source: does L9's
+    * quality score secretly proxy document length? A curation filter
+    * whose score correlates hard with length is a length filter in
+    * disguise — this is the audit that catches it. The score formula
+    * is L9's verbatim (same 0.6/0.4 weights, same 4dp rounding);
+    * corr against ln(n_chars) per source, rounded at 4 AFTER the
+    * aggregate. One projection + one ≤|sources|-row agg. */
+  def qLenQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
+      .withColumn("stop_ratio",
+        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
+      .withColumn("score",
+        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"score"), 4).as("avg_score"),
+        round(corr($"score", log($"n_chars".cast("double"))), 4)
+          .as("corr_len"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lsh_precision" -> (qLshPrecision _),
+    "q_len_quality" -> (qLenQuality _),
     "q_band_stats" -> (qBandStats _),
     "q_dup_bias" -> (qDupBias _),
     "q_exact_dedup" -> (qExactDedup _),
@@ -1004,6 +1073,59 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lsh_precision" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |cand AS (SELECT a.doc_id AS da, b2.doc_id AS db
+        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS ic
+        |  FROM cand c
+        |  JOIN t ta ON c.da = ta.doc_id
+        |  JOIN t tb ON c.db = tb.doc_id AND ta.tok = tb.tok
+        |  GROUP BY c.da, c.db),
+        |j AS (SELECT c.da, c.db,
+        |    round(coalesce(ic, 0) /
+        |      (sa.n + sb.n - coalesce(ic, 0)), 4) AS j
+        |  FROM cand c
+        |  LEFT JOIN inter ON c.da = inter.da AND c.db = inter.db
+        |  JOIN sz sa ON c.da = sa.doc_id
+        |  JOIN sz sb ON c.db = sb.doc_id)
+        |SELECT count(*) AS n_cand,
+        |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_j50,
+        |  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_j70,
+        |  CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_j90,
+        |  round(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) / count(*), 4) AS p50,
+        |  round(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) / count(*), 4) AS p70,
+        |  round(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) / count(*), 4) AS p90
+        |FROM j""".stripMargin,
+    "q_len_quality" ->
+      """WITH t AS (SELECT source, n_chars,
+        |    string_split_regex(trim(lower(text)), ' +') AS tk
+        |  FROM documents),
+        |m AS (SELECT source, n_chars,
+        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
+        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      / len(tk), 4) AS stop_ratio
+        |  FROM t),
+        |s AS (SELECT source, n_chars,
+        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_score,
+        |  round(corr(score, ln(n_chars)), 4) AS corr_len
+        |FROM s GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_band_stats" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

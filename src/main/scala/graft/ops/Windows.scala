@@ -297,7 +297,34 @@ object Windows {
       .orderBy($"user_id".asc_nulls_first, $"run_start".asc_nulls_first)
   }
 
+  /** A25 — session bounce rate: per user, the share of sessions with
+    * exactly ONE event — the engagement-quality metric read off the
+    * T6 sessionization. Same derivation as q_sessionize (user-keyed
+    * lag window + running session index — one shuffle on user_id),
+    * rolled up twice: session grain, then user grain. All integers
+    * until the final rounded ratio. */
+  def qBounceRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"ts_us" - $"prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(($"n_events" === 1).cast("long")).as("n_bounces"))
+      .withColumn("bounce_rate", round($"n_bounces" / $"n_sessions", 4))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bounce_rate" -> (qBounceRate _),
     "q_missing_days" -> (qMissingDays _),
     "q_islands" -> (qIslands _),
     "q_mom_growth" -> (qMomGrowth _),
@@ -319,6 +346,28 @@ object Windows {
     * TIMESTAMP) truncates to µs = Spark's read. epoch_us() gives the
     * same integers as unix_micros(). */
   val oracles: Map[String, String] = Map(
+    "q_bounce_rate" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |f AS (SELECT *,
+        |  CASE WHEN lag(ts_us, 1) OVER w IS NULL
+        |         OR ts_us - lag(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |g AS (SELECT user_id, session_idx, count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / count(*), 4)
+        |    AS bounce_rate
+        |FROM g GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "q_row_number" ->
       """SELECT event_id, user_id,
         |  row_number() OVER (PARTITION BY user_id

@@ -48,7 +48,10 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_cos_hist",        // float dot + floor bin edges
     "q_assign_purity",   // argmin assignment ties + centroid sums
     "q_knn_classify",    // rank ties + vote-majority ties
-    "q_domain_mix")      // sqrt-sum normalizer + floor allocation
+    "q_domain_mix",      // sqrt-sum normalizer + floor allocation
+    "q_bigram_entropy",  // per-doc ln fold across partitions
+    "q_lsh_precision",   // rounded-jaccard threshold counts
+    "q_len_quality")     // corr float sums per source
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
