@@ -975,40 +975,64 @@ object Text {
     * thresholds 0.5 / 0.7 / 0.9 — the companion to q_band_stats
     * (which predicts the candidate COUNT): together they answer "is
     * the banding worth its cost" before a 100 TB run commits to it.
-    * Candidates that share NO token survive via a left join
-    * (coalesced to 0) — dropping them would inflate precision, the
-    * classic eval bug. Scoring joins carry (doc_id, tok) pairs only;
-    * one single-row output via conditional aggs. */
+    *
+    * The raw candidate surface is QUADRATIC in the densest band
+    * (Σ|bucket|² — 2.6M pairs at sf0.1), so exact-scoring every pair
+    * is precisely the cost the star reduction exists to avoid; a
+    * precision eval never needs it. Exact Jaccard runs on a
+    * DETERMINISTIC 1/16 HASH SAMPLE of pairs (integer Knuth mix of
+    * the id pair — no RNG, identical sample on both engines,
+    * unbiased because the mix is independent of similarity) while
+    * the FULL candidate
+    * count is computed from band sizes (Σ sz·(sz−1)/2) without
+    * materializing a single pair. Sampled candidates that share NO
+    * token survive via a
+    * left join (coalesced to 0) — dropping them would inflate
+    * precision, the classic eval bug. */
   def qLshPrecision(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val cand = sig.alias("a")
+    // full candidate count WITHOUT materializing a single pair:
+    // Σ_band sz·(sz−1)/2 over the band-size agg (q_band_stats' math)
+    val nAll = sig.groupBy($"band").agg(count(lit(1)).as("sz"))
+      .agg(sum(expr("sz * (sz - 1) DIV 2")).as("n_cand"))
+    val samp = sig.alias("a")
       .join(sig.alias("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // Knuth multiplicative mix of the id pair: pure integer
+      // arithmetic (identical on both engines, no digest per pair —
+      // sha2 on 2.6M emitted pairs measured ~2 s), independent of
+      // content similarity, so the sampled precision is unbiased
+      .filter(pmod($"da" * lit(2654435761L) + $"db", lit(16)) === 0)
+      // the sampled pair set feeds TWO subtrees (the intersection agg
+      // and the outer left join); checkpoint the SMALL post-sample
+      // table so the quadratic band join runs once, not twice
+      .localCheckpoint(eager = false)
     val t = Tables.documents(spark, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = samp
       .join(t.alias("ta"), $"da" === col("ta.doc_id"))
       .join(t.alias("tb"),
         $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("i"))
-    cand
+    samp
       .join(inter, Seq("da", "db"), "left")
       .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
       .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("j", round(coalesce($"i", lit(0L)) /
         ($"na" + $"nb" - coalesce($"i", lit(0L))), 4))
-      .agg(count(lit(1)).as("n_cand"),
+      .agg(count(lit(1)).as("n_sampled"),
         sum(($"j" >= 0.5).cast("long")).as("n_j50"),
         sum(($"j" >= 0.7).cast("long")).as("n_j70"),
         sum(($"j" >= 0.9).cast("long")).as("n_j90"))
-      .select($"n_cand", $"n_j50", $"n_j70", $"n_j90",
-        round($"n_j50" / $"n_cand", 4).as("p50"),
-        round($"n_j70" / $"n_cand", 4).as("p70"),
-        round($"n_j90" / $"n_cand", 4).as("p90"))
+      .crossJoin(broadcast(nAll))
+      .select($"n_cand", $"n_sampled", $"n_j50", $"n_j70", $"n_j90",
+        round($"n_j50" / $"n_sampled", 4).as("p50"),
+        round($"n_j70" / $"n_sampled", 4).as("p70"),
+        round($"n_j90" / $"n_sampled", 4).as("p90"))
   }
 
   /** L62 — quality-vs-length correlation per source: does L9's
@@ -1086,29 +1110,35 @@ object Text {
         |b AS (SELECT doc_id,
         |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
         |  FROM sig),
-        |cand AS (SELECT a.doc_id AS da, b2.doc_id AS db
-        |  FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+        |bs AS (SELECT band, count(*) AS sz FROM b GROUP BY band),
+        |nall AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand
+        |  FROM bs),
+        |samp AS (SELECT da, db FROM (
+        |    SELECT a.doc_id AS da, b2.doc_id AS db
+        |    FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+        |  WHERE (da * 2654435761 + db) % 16 = 0),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |inter AS (SELECT c.da, c.db, count(*) AS ic
-        |  FROM cand c
+        |  FROM samp c
         |  JOIN t ta ON c.da = ta.doc_id
         |  JOIN t tb ON c.db = tb.doc_id AND ta.tok = tb.tok
         |  GROUP BY c.da, c.db),
         |j AS (SELECT c.da, c.db,
         |    round(coalesce(ic, 0) /
         |      (sa.n + sb.n - coalesce(ic, 0)), 4) AS j
-        |  FROM cand c
+        |  FROM samp c
         |  LEFT JOIN inter ON c.da = inter.da AND c.db = inter.db
         |  JOIN sz sa ON c.da = sa.doc_id
         |  JOIN sz sb ON c.db = sb.doc_id)
-        |SELECT count(*) AS n_cand,
+        |SELECT n_cand, count(*) AS n_sampled,
         |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_j50,
         |  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_j70,
         |  CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_j90,
         |  round(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) / count(*), 4) AS p50,
         |  round(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) / count(*), 4) AS p70,
         |  round(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) / count(*), 4) AS p90
-        |FROM j""".stripMargin,
+        |FROM j CROSS JOIN nall
+        |GROUP BY n_cand""".stripMargin,
     "q_len_quality" ->
       """WITH t AS (SELECT source, n_chars,
         |    string_split_regex(trim(lower(text)), ' +') AS tk

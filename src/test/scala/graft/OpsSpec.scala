@@ -225,7 +225,7 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
-      "q_ppl_bucket", "q_domain_mix",
+      "q_ppl_bucket", "q_domain_mix", "q_lsh_precision",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
