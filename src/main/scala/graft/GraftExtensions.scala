@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, SimHash63}
+import graft.functions.{DotProduct, MinHash20, SimHash63}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash63"),
       new ExpressionInfo(classOf[SimHash63].getName, "graft_simhash63"),
       (children: Seq[Expression]) => SimHash63(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash20"),
+      new ExpressionInfo(classOf[MinHash20].getName, "graft_minhash20"),
+      (children: Seq[Expression]) => MinHash20(children.head)))
     // bounded edit-distance comparisons → banded thresholded DP
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThreshold)
   }

@@ -573,26 +573,20 @@ object Text {
     // band hashes AND estimation minhashes are all affine functions of
     // ONE digest per token (r5 lesson: per-row MessageDigest rounds
     // dominate — 5 sha2/row profiled 17.7 s; this form is 1 sha2/row).
-    // Coefficients stay < 2^22 against the 28-bit base, so products
-    // fit well inside a long under ANSI mode.
-    def bh(i: Int): Column =
-      min((lit(2000003L + 104729L * i) * $"x" + lit(15485863L * i + 17L))
-        % lit(1000000007L)).as(s"h$i")
-    def mh(i: Int): Column =
-      min((lit(1000003L + 7919L * i) * $"x" + lit(7907L * i + 13L))
-        % lit(1000000007L)).as(s"m$i")
+    // r6: the whole 20-hash fold is the native one-pass codegen
+    // expression graft_minhash20 (functions/MinHash20.scala) — walks
+    // the token array per DOCUMENT with zero explode and zero agg,
+    // bit-identical to the SQL formulation (differential-tested in
+    // SketchSpec); the signature build becomes a pure projection.
     val sig = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
-      // one digest per token; 28-bit base keeps a_i·x < 2^59 (ANSI-safe)
-      .withColumn("x", conv(substring(sha2($"tok", 256), 1, 7), 16, 10)
-        .cast("long"))
-      .groupBy($"doc_id")
-      .agg(bh(0), Seq(1, 2, 3).map(bh) ++ (0 until 16).map(mh): _*)
-      .withColumn("band",
-        substring(sha2(concat_ws(":",
-          (0 until 4).map(i => col(s"h$i").cast("string")): _*), 256), 1, 16))
-      .select($"doc_id" +: $"band" +:
-        (0 until 16).map(i => col(s"m$i")): _*)
+      .select($"doc_id",
+        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
+      .select(
+        Seq($"doc_id",
+          substring(sha2(concat_ws(":",
+            (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
+            256), 1, 16).as("band")) ++
+          (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
       // lazy checkpoint: the self-join's two branches share one
       // materialization of the signature table (the broadcast side
       // cannot reuse the streamed side's exchange), halving the

@@ -125,4 +125,29 @@ class SketchSpec extends SparkSuite with Matchers {
     fast.foreach { case (id, sig) => sig shouldBe ref(id) }
     fast.values.foreach(_ should be >= 0L) // 63-bit: never negative
   }
+
+  test("native graft_minhash20 is bit-identical to the SQL explode+agg formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // SQL reference: the explode + 20×min() hash-agg form (still the
+    // DuckDB oracle of q_minhash_est)
+    def bh(i: Int) = min((lit(2000003L + 104729L * i) * $"x"
+      + lit(15485863L * i + 17L)) % lit(1000000007L)).as(s"v$i")
+    def mh(i: Int) = min((lit(1000003L + 7919L * i) * $"x"
+      + lit(7907L * i + 13L)) % lit(1000000007L)).as(s"v${i + 4}")
+    val ref = graft.Tables.documents(spark, sf)
+      .select($"doc_id", explode(split(trim(lower($"text")), " +")).as("tok"))
+      .withColumn("x",
+        conv(substring(sha2($"tok", 256), 1, 7), 16, 10).cast("long"))
+      .groupBy($"doc_id")
+      .agg(bh(0), (Seq(1, 2, 3).map(bh) ++ (0 until 16).map(mh)): _*)
+      .select($"doc_id", array((0 until 20).map(i => col(s"v$i")): _*).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fast = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    fast.keySet shouldBe ref.keySet
+    fast.foreach { case (id, sig) => sig shouldBe ref(id) }
+  }
 }
