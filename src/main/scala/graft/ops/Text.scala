@@ -1055,7 +1055,65 @@ object Text {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** L63 — MinHash estimator CALIBRATION: is the 16-hash agreement
+    * fraction (L30's score) actually close to true Jaccard on THIS
+    * corpus? Per estimator value k (0..16 agreeing hashes): pair
+    * count, mean true Jaccard, and mean |true − k/16| — the error
+    * curve that justifies running dedup decisions in signature space
+    * at 100 TB (bodies cold). Exact truth comes from the same
+    * deterministic 1/16 pair sample as q_lsh_precision (an eval
+    * never needs every pair); signatures come from graft_minhash20
+    * (zero-shuffle projection). The error accounting is ALL-INTEGER:
+    * k/16 = 625k/10⁴ exactly, and the 4dp true Jaccard is J/10⁴, so
+    * Σ|J − 625k| is an exact long — a rounded mean-of-doubles here
+    * ties at .00005 boundaries that the two engines break differently
+    * (caught at sf0.001: 10-pair MAE of exactly 0.16235), the same
+    * trap q_quantize_int8's integer facts avoid. */
+  def qEstError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
+      .select($"doc_id", $"mh",
+        substring(sha2(concat_ws(":",
+          (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
+          256), 1, 16).as("band"))
+    val est = (0 until 16)
+      .map(i => (element_at(col("a.mh"), i + 5) ===
+        element_at(col("b.mh"), i + 5)).cast("int"))
+      .reduce(_ + _)
+    val samp = sig.alias("a")
+      .join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        est.cast("long").as("k"))
+      .filter(pmod($"da" * lit(2654435761L) + $"db", lit(16)) === 0)
+      .localCheckpoint(eager = false)
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = samp.select($"da", $"db")
+      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
+      .join(t.alias("tb"),
+        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("i"))
+    samp
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("j", round(coalesce($"i", lit(0L)) /
+        ($"na" + $"nb" - coalesce($"i", lit(0L))), 4))
+      .withColumn("j_e4", round($"j" * 10000).cast("long"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"j_e4").as("sum_true_j_e4"),
+        sum(abs($"j_e4" - $"k" * lit(625L))).as("sum_abs_err_e4"))
+      .orderBy($"k".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_est_error" -> (qEstError _),
     "q_lsh_precision" -> (qLshPrecision _),
     "q_len_quality" -> (qLenQuality _),
     "q_band_stats" -> (qBandStats _),
@@ -1091,6 +1149,53 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_est_error" -> {
+      val bandMins = (0 until 4)
+        .map(i => s"min((${2000003L + 104729L * i} * x + ${15485863L * i + 17L})" +
+          s" % 1000000007) AS h$i").mkString(", ")
+      val mins = (0 until 16)
+        .map(i => s"min((${1000003L + 7919L * i} * x + ${7907L * i + 13L})" +
+          s" % 1000000007) AS m$i").mkString(", ")
+      val eqs = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bandCat = (0 until 4)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
+      s"""WITH t AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+         |  FROM documents),
+         |tx AS (SELECT doc_id, tok,
+         |    CAST(('0x' || substr(sha256(tok), 1, 7)) AS BIGINT) AS x
+         |  FROM t),
+         |s AS (SELECT doc_id, $bandMins, $mins FROM tx GROUP BY doc_id),
+         |sb AS (SELECT doc_id,
+         |    substring(sha256($bandCat), 1, 16) AS band,
+         |    ${(0 until 16).map(i => s"m$i").mkString(", ")}
+         |  FROM s),
+         |samp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(($eqs) AS BIGINT) AS k
+         |  FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id * 2654435761 + b.doc_id) % 16 = 0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS ic
+         |  FROM samp c
+         |  JOIN t ta ON c.da = ta.doc_id
+         |  JOIN t tb ON c.db = tb.doc_id AND ta.tok = tb.tok
+         |  GROUP BY c.da, c.db),
+         |j AS (SELECT c.da, c.db, c.k,
+         |    round(coalesce(ic, 0) /
+         |      (sa.n + sb2.n - coalesce(ic, 0)), 4) AS j
+         |  FROM samp c
+         |  LEFT JOIN inter ON c.da = inter.da AND c.db = inter.db
+         |  JOIN sz sa ON c.da = sa.doc_id
+         |  JOIN sz sb2 ON c.db = sb2.doc_id)
+         |SELECT k, count(*) AS n_pairs,
+         |  CAST(sum(j_e4) AS BIGINT) AS sum_true_j_e4,
+         |  CAST(sum(abs(j_e4 - k * 625)) AS BIGINT) AS sum_abs_err_e4
+         |FROM (SELECT k, CAST(round(j * 10000, 0) AS BIGINT) AS j_e4
+         |  FROM j)
+         |GROUP BY k
+         |ORDER BY k ASC NULLS FIRST""".stripMargin
+    },
     "q_lsh_precision" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

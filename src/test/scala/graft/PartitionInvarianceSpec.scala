@@ -51,7 +51,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_domain_mix",      // sqrt-sum normalizer + floor allocation
     "q_bigram_entropy",  // per-doc ln fold across partitions
     "q_lsh_precision",   // rounded-jaccard threshold counts
-    "q_len_quality")     // corr float sums per source
+    "q_len_quality",     // corr float sums per source
+    "q_est_error")       // estimator-error means over sampled pairs
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
