@@ -633,7 +633,17 @@ object Corpus {
     * as −(Σ cnt·ln(cnt/ctot))/total so one (doc,c,n)-grain agg, one
     * (doc,c)-grain agg, and one doc-grain agg cover it — bigrams are
     * built positionally in-stage (L17's transform), shuffles carry
-    * gram counts, never text. round-6 after the full fold. */
+    * gram counts, never text.
+    *
+    * Determinism: a parallel double sum is partition-order-dependent,
+    * and round-6 of an order-dependent fold hash-mismatched the
+    * oracle in r6 (one row's 6th decimal sat on a .5 tie). The fold
+    * is therefore a SORTED sequential reduce on both engines:
+    * collect the per-(c,n) terms into an array, sort by the unique
+    * (c,n) key, and left-fold — bit-identical order, so the only
+    * residual engine surface is ln's last ulp. The per-doc term list
+    * is bounded by the doc's distinct-bigram count (doc-grain, not
+    * corpus-grain), so the collect is scale-safe at 100 TB. */
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bg = Tables.documents(spark, dir)
@@ -649,10 +659,14 @@ object Corpus {
     cn.join(cc, Seq("doc_id", "c"))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"),
-        sum($"cnt".cast("double") *
-          log($"cnt".cast("double") / $"ctot")).as("s"))
+        sort_array(collect_list(struct($"c", $"n", $"cnt", $"ctot")))
+          .as("terms"))
       .select($"doc_id", $"n_bigrams",
-        round(-$"s" / $"n_bigrams", 6).as("h_cond"))
+        round(-aggregate($"terms", lit(0.0d), (acc, x) =>
+          acc + x.getField("cnt").cast("double") *
+            log(x.getField("cnt").cast("double") /
+              x.getField("ctot").cast("double"))) /
+          $"n_bigrams", 6).as("h_cond"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -694,12 +708,21 @@ object Corpus {
         |cn AS (SELECT doc_id, p.c AS c, p.n AS n, count(*) AS cnt
         |  FROM b GROUP BY doc_id, p.c, p.n),
         |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot
-        |  FROM cn GROUP BY doc_id, c)
-        |SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |  round(-sum(cnt * ln(cnt / ctot)) / sum(cnt), 6) AS h_cond
-        |FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
-        |GROUP BY cn.doc_id
-        |ORDER BY cn.doc_id ASC NULLS FIRST""".stripMargin,
+        |  FROM cn GROUP BY doc_id, c),
+        |g AS (SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    list_sort(list(struct_pack(c := cn.c, n := cn.n,
+        |      cnt := CAST(cnt AS BIGINT),
+        |      ctot := CAST(ctot AS BIGINT)))) AS terms
+        |  FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
+        |  GROUP BY cn.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(-list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(terms,
+        |      x -> CAST(x.cnt AS DOUBLE) *
+        |        ln(CAST(x.cnt AS DOUBLE) / CAST(x.ctot AS DOUBLE)))),
+        |    (a, b) -> a + b) / n_bigrams, 6) AS h_cond
+        |FROM g
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(lower(text)), ' +')))
