@@ -432,16 +432,28 @@ object Analytics {
     * an aggregate OF the per-key aggregate — computed once from the
     * grouped frame (one pass over the fact, then a one-row reduce),
     * broadcast back as a cross join. Never a self-join of two full
-    * scans. */
+    * scans.
+    *
+    * Float discipline (tiecheck catch, r7): extendedprice·(1−disc)
+    * is a 4-decimal money lattice, so ~1% of per-part sums land
+    * EXACTLY on a .005 boundary and round(sum, 2) resolves by fold
+    * noise — the r6 hash-tie class. The emitted revenue therefore
+    * sums exact integer ten-thousandths (each term·10⁴ is within
+    * 1e-7 of its integer — round-to-int is engine-identical) and
+    * re-rounds to cents in integer space; the 1.25×-mean filter
+    * keeps the double sum (threshold selectivity, not output). */
   def qPartShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val term = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     val rev = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
+      .agg(sum(term).as("r"),
+        sum(round(term * 10000).cast("long")).as("r4"))
     val total = rev.agg(avg($"r").as("t"))
     rev.crossJoin(broadcast(total))
       .filter($"r" > lit(1.25) * $"t")
-      .select($"l_partkey", round($"r", 2).as("revenue"))
+      .select($"l_partkey",
+        (round($"r4" / lit(100.0)) / lit(100.0)).as("revenue"))
       .orderBy($"revenue".desc_nulls_last, $"l_partkey".asc_nulls_first)
   }
 
@@ -451,19 +463,24 @@ object Analytics {
     * equality filter — the scale-correct alternative to a global
     * (unpartitioned) rank window, which would sort everything on one
     * task. Within-engine double equality is exact (same computed
-    * values); output revenue rounded for cross-engine defense. */
+    * values); the emitted revenue goes through exact integer
+    * ten-thousandths like q_part_share — a money sum rounded at 2dp
+    * can land exactly on a .005 lattice boundary (tiecheck class). */
   def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val term = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     val srev = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_rev"))
+      .agg(sum(term).as("total_rev"),
+        sum(round(term * 10000).cast("long")).as("r4"))
     val mx = srev.agg(max($"total_rev").as("mx"))
     srev.crossJoin(broadcast(mx))
       .filter($"total_rev" === $"mx")
       .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
-      .select($"s_suppkey", $"s_name", round($"total_rev", 2).as("total_rev"))
+      .select($"s_suppkey", $"s_name",
+        (round($"r4" / lit(100.0)) / lit(100.0)).as("total_rev"))
       .orderBy($"s_suppkey".asc_nulls_first)
   }
 
@@ -1385,20 +1402,24 @@ object Analytics {
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
     "q_part_share" ->
       """WITH rev AS (
-        |  SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS r
+        |  SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS r,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS r4
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT l_partkey, round(r, 2) AS revenue
+        |SELECT l_partkey, round(r4 / 100.0) / 100.0 AS revenue
         |FROM rev
         |WHERE r > 1.25 * (SELECT avg(r) FROM rev)
         |ORDER BY revenue DESC NULLS LAST, l_partkey ASC NULLS FIRST""".stripMargin,
     "q_top_supplier" ->
       """WITH srev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_rev
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_rev,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS r4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+        |SELECT s_suppkey, s_name, round(r4 / 100.0) / 100.0 AS total_rev
         |FROM supplier JOIN srev ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM srev)
         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,

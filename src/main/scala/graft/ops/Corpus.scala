@@ -31,6 +31,22 @@ object Corpus {
   /** Same tokenizer as Text.toks — the oracle parity contract. */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
+  /** Order-deterministic double sum: sort the per-term values and
+    * left-fold sequentially. Both engines hold the same multiset of
+    * per-term doubles (each term is single-expression arithmetic on
+    * identical inputs, hence bit-identical under IEEE 754), so the
+    * sorted sequence — and therefore the sequential fold — is
+    * bit-identical too; equal values commute in summation, so ties
+    * in the sort order cannot matter. This is the standing fix for
+    * the round-half hash-tie class (three real failures r5–r6): a
+    * parallel double sum is partition-order-dependent, and its
+    * ±1e-13 noise straddles decimal-rounding boundaries. Mirrored in
+    * DuckDB as list_reduce(list_prepend(0.0, list_sort(list(term))),
+    * (a,b) -> a+b). Per-group term lists are group-grain (a doc's
+    * tokens), never corpus-grain — scale-safe at 100 TB. */
+  private def sortedSum(terms: Column): Column =
+    aggregate(sort_array(terms), lit(0.0d), (acc, x) => acc + x)
+
   /** L4+ — TF-IDF: tf(doc, term) × ln(N / df(term)), terms with
     * tf ≥ 2. ln of the same double ratio on both engines, rounded at
     * 6; ORDER BY is (doc_id, term) — never the float score — so a
@@ -64,8 +80,10 @@ object Corpus {
     * total as a scalar-broadcast, tokens re-joined to the vocab by
     * plain shuffle hash join (a vocabulary table is corpus-derived —
     * never hint-broadcast), one doc-keyed avg. ln of the identical
-    * double ratio on both engines, rounded at 6 AFTER the avg;
-    * ORDER BY integer doc_id only. */
+    * double ratio on both engines; the per-doc mean is a sortedSum
+    * fold over the token log-probs (order-deterministic — see
+    * sortedSum), rounded at 6 AFTER the fold; ORDER BY integer
+    * doc_id only. */
   def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables.documents(spark, dir)
@@ -76,7 +94,10 @@ object Corpus {
       .crossJoin(broadcast(total))
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), round(avg($"logp"), 6).as("avg_logp"))
+      .agg(count(lit(1)).as("n_toks"),
+        collect_list($"logp").as("lps"))
+      .select($"doc_id", $"n_toks",
+        round(sortedSum($"lps") / $"n_toks", 6).as("avg_logp"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -392,9 +413,9 @@ object Corpus {
     * the three normalizers (general total, in-domain total, vocab
     * size) collapse into ONE broadcast scalar row; tokens re-join the
     * two count tables by UNHINTED shuffle joins — vocabulary tables
-    * are corpus-derived and never hint-broadcast. One doc-keyed avg.
-    * ln of identical double ratios on both engines, rounded at 6
-    * after the avg; ORDER BY integer doc_id only. */
+    * are corpus-derived and never hint-broadcast. One doc-keyed
+    * sortedSum fold over the per-token ratios (order-deterministic),
+    * rounded at 6 after the fold; ORDER BY integer doc_id only. */
   def qMooreLewis(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -413,7 +434,9 @@ object Corpus {
           ($"ti" + $"v")) -
         log(($"cg" + lit(1L)).cast("double") / ($"tg" + $"v")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), round(avg($"llr"), 6).as("ml_score"))
+      .agg(count(lit(1)).as("n_toks"), collect_list($"llr").as("llrs"))
+      .select($"doc_id", $"n_toks",
+        round(sortedSum($"llrs") / $"n_toks", 6).as("ml_score"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -421,9 +444,9 @@ object Corpus {
     * lexical-diversity quality signal (spam and keyword-stuffed docs
     * sit at the low-entropy tail; boilerplate-heavy docs at low TTR).
     * entropy = ln(n) − Σ c·ln(c) / n over per-doc token counts — one
-    * (doc, tok) hash-agg then one doc-keyed fold, both map-side
-    * combinable; no window, no join. Floats rounded at 6 after the
-    * fold; ORDER BY integer doc_id. */
+    * (doc, tok) hash-agg then one doc-keyed sortedSum fold
+    * (order-deterministic); no window, no join. Floats rounded at 6
+    * after the fold; ORDER BY integer doc_id. */
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -431,9 +454,10 @@ object Corpus {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
-        sum($"c".cast("double") * log($"c")).as("s"))
+        collect_list($"c".cast("double") * log($"c")).as("terms"))
       .select($"doc_id", $"n_toks", $"n_types",
-        round(log($"n_toks") - $"s" / $"n_toks", 6).as("entropy"),
+        round(log($"n_toks") - sortedSum($"terms") / $"n_toks", 6)
+          .as("entropy"),
         round($"n_types".cast("double") / $"n_toks", 6).as("ttr"))
       .orderBy($"doc_id".asc_nulls_first)
   }
@@ -533,20 +557,30 @@ object Corpus {
   /** L51 — perplexity-decile bucketing: the curation view a
     * perplexity filter needs BEFORE choosing its cutoff. Each doc is
     * scored by the corpus-trained unigram LM (q_unigram_lm's exact
-    * score: mean log p over its tokens, rounded at 6), then ranked
-    * into deciles WITHIN its source — per-source because LM scores
-    * are not comparable across domains (code scores differ from prose
+    * score: mean log p over its tokens), then ranked into deciles
+    * WITHIN its source — per-source because LM scores are not
+    * comparable across domains (code scores differ from prose
     * scores; a global cutoff would empty one source before touching
     * another, the CCNet lesson). Output is the (source, decile)
-    * profile: doc count and mean score per bucket.
+    * profile: doc count and summed score per bucket.
     *
     * Plan shape: one vocabulary-keyed count agg + scalar-broadcast
     * total + UNHINTED vocab re-join (corpus-derived — never hinted)
-    * + one doc-keyed avg — q_unigram_lm's plan — then ntile over a
-    * source-partitioned window (q_rfm's accepted shape: no
-    * unpartitioned window at any scale; each source ranks
-    * independently). Ordering inside the window is (rounded score,
-    * doc_id) — a TOTAL order, so ntile is partition-count-invariant. */
+    * + one doc-keyed sortedSum fold — q_unigram_lm's plan — then
+    * ntile over a source-partitioned window (q_rfm's accepted shape:
+    * no unpartitioned window at any scale; each source ranks
+    * independently). Ordering inside the window is (integer score,
+    * doc_id) — a TOTAL order, so ntile is partition-count-invariant.
+    *
+    * Float discipline: the per-doc score is quantized ONCE to
+    * integer micro-nats (round(mean·1e6) as BIGINT — deterministic
+    * on a sortedSum mean: round-to-int of the same double agrees
+    * across engines, unlike round(x, d) whose 10^d scaling re-rounds
+    * differently per engine), and the decile profile SUMS those
+    * integers — an avg of 6dp-rounded doubles lands on an exact
+    * .5·10⁻⁶ boundary about one row in ten (sum·10⁶/n_docs hits
+    * halves whenever the integer sum ≡ n/2 mod n), the r6 MAE
+    * failure class, so the mean is not emitted as a float at all. */
   def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables.documents(spark, dir)
@@ -556,15 +590,18 @@ object Corpus {
     val scored = t.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy($"doc_id", $"source")
-      .agg(round(avg(log($"cnt".cast("double") / $"total")), 6)
-        .as("avg_logp"))
+      .agg(count(lit(1)).as("n_toks"),
+        collect_list(log($"cnt".cast("double") / $"total")).as("lps"))
+      .select($"doc_id", $"source",
+        round(sortedSum($"lps") / $"n_toks" * lit(1000000.0d))
+          .cast("long").as("score_e6"))
     val w = Window.partitionBy($"source")
-      .orderBy($"avg_logp".asc_nulls_first, $"doc_id".asc_nulls_first)
+      .orderBy($"score_e6".asc_nulls_first, $"doc_id".asc_nulls_first)
     scored
       .withColumn("decile", ntile(10).over(w))
       .groupBy($"source", $"decile")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg($"avg_logp"), 6).as("mean_logp"))
+        sum($"score_e6").as("sum_logp_e6"))
       .orderBy($"source".asc_nulls_first, $"decile".asc_nulls_first)
   }
 
@@ -742,15 +779,17 @@ object Corpus {
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
         |s AS (SELECT doc_id, source,
-        |    round(avg(ln(cnt / total)), 6) AS avg_logp
+        |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_sort(list(ln(cnt / total)))), (a, b) -> a + b)
+        |      / count(*) * 1000000.0) AS BIGINT) AS score_e6
         |  FROM t JOIN v USING (tok) CROSS JOIN tot
         |  GROUP BY doc_id, source),
-        |d AS (SELECT source, avg_logp, ntile(10) OVER (
+        |d AS (SELECT source, score_e6, ntile(10) OVER (
         |    PARTITION BY source
-        |    ORDER BY avg_logp ASC NULLS FIRST, doc_id ASC) AS decile
+        |    ORDER BY score_e6 ASC NULLS FIRST, doc_id ASC) AS decile
         |  FROM s)
         |SELECT source, decile, count(*) AS n_docs,
-        |  round(avg(avg_logp), 6) AS mean_logp
+        |  CAST(sum(score_e6) AS BIGINT) AS sum_logp_e6
         |FROM d GROUP BY source, decile
         |ORDER BY source ASC NULLS FIRST, decile ASC NULLS FIRST""".stripMargin,
     "q_src_overlap" ->
@@ -816,8 +855,11 @@ object Corpus {
         |    (SELECT count(*) FROM gen) AS v,
         |    (SELECT CAST(coalesce(sum(ci), 0) AS BIGINT) FROM ind) AS ti)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(avg(ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
-        |    - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))), 6) AS ml_score
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_sort(list(
+        |        ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
+        |        - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))))),
+        |      (a, b) -> a + b) / count(*), 6) AS ml_score
         |FROM t JOIN gen USING (tok) LEFT JOIN ind USING (tok) CROSS JOIN s
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -828,7 +870,9 @@ object Corpus {
         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
         |    CAST(count(*) AS BIGINT) AS n_types,
-        |    sum(CAST(c AS DOUBLE) * ln(c)) AS s
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_sort(list(CAST(c AS DOUBLE) * ln(c)))),
+        |      (a, b) -> a + b) AS s
         |  FROM c GROUP BY doc_id)
         |SELECT doc_id, n_toks, n_types,
         |  round(ln(n_toks) - s / n_toks, 6) AS entropy,
@@ -862,7 +906,9 @@ object Corpus {
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(avg(ln(cnt / total)), 6) AS avg_logp
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_sort(list(ln(cnt / total)))), (a, b) -> a + b)
+        |    / count(*), 6) AS avg_logp
         |FROM t JOIN v USING (tok) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
