@@ -21,16 +21,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong (set in GraftSession) it
-    * arrives as epoch-nanos LongType. Convert to a µs TimestampType
-    * here — `ts div 1000` is integer division (lossless for the full
-    * int64 range, unlike `/` which goes through double). Oracle side
-    * uses CAST(ts AS TIMESTAMP), DuckDB's ns→µs truncation.
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which with
+    * spark.sql.legacy.parquet.nanosAsLong (set in GraftSession)
+    * arrives as epoch-nanos LongType — and plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which arrives as TimestampNTZType.
+    * Normalize both to the µs TimestampType every query expects:
+    * nanos go through `ts div 1000` (integer division — lossless for
+    * the full int64 range, unlike `/` which goes through double);
+    * NTZ casts straight across (the host and oracle both run UTC).
+    * Oracle side uses CAST(ts AS TIMESTAMP) either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -29,19 +29,24 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     // stream the same parquet through the streaming engine
     val out = java.nio.file.Files.createTempDirectory("graft_par_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_par_ck").toString
-    // declare the RAW parquet schema (ts = int64 nanos under
-    // nanosAsLong) and apply Tables.events' conversion on the stream;
-    // the file source wants a DIRECTORY, so stage the file into one
+    // declare the RAW parquet schema and apply Tables.events'
+    // conversion on the stream (int64 nanos under nanosAsLong in the
+    // old testdata generation, TIMESTAMP_NTZ µs in the new one); the
+    // file source wants a DIRECTORY, so stage the file into one
     val srcDir = java.nio.file.Files.createTempDirectory("graft_par_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       srcDir.resolve("events.parquet"))
     val raw = Tables.load(spark, sf, "events").schema
-    val src = spark.readStream
+    val src0 = spark.readStream
       .schema(raw)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src0.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = tumble(src.withWatermark("ts", "0 seconds"))
       .writeStream
       .outputMode("complete") // bounded input: full result at the end

@@ -58,6 +58,24 @@ TIE_SAFE = {
                        "where both engines agree half-away); score is "
                        "0.6/0.4-weighted 4dp lattice — its 2e-5 grid "
                        "never lands on a .00005 tie",
+    # k/n-division lattice: a single-division output k/n has scaled
+    # boundary distance |k·10^d·2 − n(2m+1)|/(2n) ≥ 1/(2n) unless the
+    # tie is exact; with n ≤ ~10^6 group sizes that is ≥ 5e-7 scaled,
+    # 3+ orders above the ~1e-10 round-implementation slack. Exact
+    # ties only arise binary-exact (k/2^a groups, e.g. 58/64), where
+    # x·10^d is an exact product and both engines round half away
+    # from zero identically.
+    "q_bounce_rate": "k/n lattice (bounces/sessions per group; exact "
+                     "ties like 58/64 are binary-exact, engines agree)",
+    "q_doc_stats": "integer-avg lattice (sum(int)/n with exact "
+                   "double integer sums; n=2^a groups tie binary-"
+                   "exactly, engines agree)",
+    "q_rank_dist": "k/n lattice (percent_rank/cume_dist over n ≤ "
+                   "~10^4 per segment: scaled distance ≥ 1/(2n) ≈ "
+                   "8e-5, no exact ties possible for odd n−1)",
+    "q_tfidf": "foldless: tf·ln(N/df) is per-row single-expression "
+               "(measured nearest scaled distance 3e-4 at sf0.1; "
+               "cross-engine slack is one ln ulp ≈ 1e-9 scaled)",
 }
 
 
