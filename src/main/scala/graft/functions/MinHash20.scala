@@ -35,6 +35,16 @@ case class MinHash20(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Nullable even for a non-null child: compute() returns null for
+    * an empty/all-null token array (the SQL group would vanish).
+    * With the default nullable = child.nullable, whole-stage codegen
+    * would treat that null as a valid ArrayData and downstream
+    * element_at/sha2 consumers would NPE — unreachable from in-repo
+    * call sites (split() never yields an empty array) but live for
+    * SQL users of graft_minhash20, e.g. SELECT
+    * graft_minhash20(array()). */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -44,8 +54,15 @@ case class MinHash20(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     MinHash20.compute(input.asInstanceOf[ArrayData])
 
+  /** nullSafeCodeGen, not defineCodeGen: the latter never writes
+    * ev.isNull from the result, so compute()'s null would flow into
+    * generated code as a non-null value. (SimHash63 can keep
+    * defineCodeGen — it returns a primitive long.) */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash20.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHash20.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHash20 =
     copy(child = newChild)

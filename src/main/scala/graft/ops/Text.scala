@@ -398,7 +398,7 @@ object Text {
     * LSH band join replaces q_near_dup's block join: candidates =
     * docs sharing a band bucket. */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark, dir), computeMinhashSigs(spark, dir))
+    memoized(sigCache, spark, dir)(computeMinhashSigs(spark, dir))
 
   /** Memoized per (session, dir) like [[clusterLabels]]: five
     * registry queries (sig dump, banded candidates, multi-band,
@@ -413,19 +413,76 @@ object Text {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearSigCache(): Unit = sigCache.clear()
+  /** Clears the signature memo AND the token-set memo it feeds from
+    * — Bench/Profile call this per timing pass. */
+  def clearSigCache(): Unit = { sigCache.clear(); tokCache.clear() }
+
+  /** Eviction for the (session, dir) memo caches: entries hold
+    * localCheckpoint'd DataFrames (executor block-manager storage)
+    * and strong SparkSession references, so a long-lived process
+    * that churns sessions would otherwise accumulate both. One
+    * listener per SparkContext drops every entry whose session died
+    * with the context. A single eternal session that churns data
+    * DIRS is not covered by any automatic hook — long-running
+    * harnesses over many inputs should call [[clearSigCache]] /
+    * [[clearLabelCache]] between inputs, as Bench/Profile do.
+    * (TrieMap.getOrElseUpdate may evaluate the builder twice under
+    * concurrency — benign: the plan is lazy and deterministic.) */
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Boolean]
+
+  private def memoized(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
+    if (evictionHooked.putIfAbsent(spark.sparkContext, true).isEmpty)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            labelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            tokCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            evictionHooked.filterInPlace { case (sc, _) => !sc.isStopped }
+          }
+        })
+    cache.getOrElseUpdate((spark, dir), compute)
+  }
 
   private def computeMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def mh(salt: String): Column =
       min(sha2(concat(lit(salt + ":"), $"tok"), 256))
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    docTokens(spark, dir)
       .groupBy($"doc_id")
       .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
       .withColumn("band",
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
       .localCheckpoint(eager = false)
+  }
+
+  /** The DISTINCT (doc_id, tok) token-set table, memoized per
+    * (session, dir) like [[minhashSigs]]: the exact-Jaccard evals
+    * (q_lsh_precision, q_est_error) each consume it THREE times (two
+    * sides of the intersection self-join + the per-doc set sizes),
+    * and the signature build reads it once more — without the memo
+    * every consumer re-runs the documents scan + explode + distinct,
+    * and a self-join of a derived table computes the subtree twice
+    * (the broadcast side cannot reuse the streamed side's exchange).
+    * localCheckpoint materializes it once per session/input as
+    * distributed blocks — the "token sets are a persisted
+    * intermediate" shape a production dedup runs at 100 TB.
+    * Deterministic (pure string ops), so reuse can never change a
+    * result; Bench/Profile clear the memo per pass via
+    * [[clearSigCache]]. */
+  private val tokCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    memoized(tokCache, spark, dir)(
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+        .localCheckpoint(eager = false))
   }
 
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
@@ -529,8 +586,7 @@ object Text {
     val cand = sig.join(rep, "band")
       .filter($"doc_id" =!= $"rep_id")
       .select($"rep_id".as("da"), $"doc_id".as("db"))
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val t = docTokens(spark, dir) // memoized set table, shared family-wide
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(t.alias("ta"), $"da" === col("ta.doc_id"))
@@ -640,8 +696,7 @@ object Text {
     * (doc_id, simhash). */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    docTokens(spark, dir)
       .withColumn("h", sha2($"tok", 256))
       .select($"doc_id", $"h", explode(sequence(lit(1), lit(16))).as("p"))
       .withColumn("v", conv(expr("substring(h, p, 1)"), 16, 10).cast("int"))
@@ -771,7 +826,7 @@ object Text {
   def clearLabelCache(): Unit = labelCache.clear()
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((spark, dir), computeClusterLabels(spark, dir))
+    memoized(labelCache, spark, dir)(computeClusterLabels(spark, dir))
 
   private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(spark, simhashPairs(spark, dir))
@@ -997,14 +1052,18 @@ object Text {
       // Knuth multiplicative mix of the id pair: pure integer
       // arithmetic (identical on both engines, no digest per pair —
       // sha2 on 2.6M emitted pairs measured ~2 s), independent of
-      // content similarity, so the sampled precision is unbiased
-      .filter(pmod($"da" * lit(2654435761L) + $"db", lit(16)) === 0)
+      // content similarity, so the sampled precision is unbiased.
+      // Ids are folded mod 2^31−1 BEFORE the multiply: the raw
+      // da·2654435761 wraps int64 once doc_id exceeds ~3.47e9 (ANSI
+      // Spark throws, DuckDB raises) — bounded operands keep the mix
+      // exact at any id scale, and are identity for ids < 2^31−1.
+      .filter(pmod(pmod($"da", lit(2147483647L)) * lit(2654435761L) +
+        pmod($"db", lit(2147483647L)), lit(16)) === 0)
       // the sampled pair set feeds TWO subtrees (the intersection agg
       // and the outer left join); checkpoint the SMALL post-sample
       // table so the quadratic band join runs once, not twice
       .localCheckpoint(eager = false)
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val t = docTokens(spark, dir) // memoized set table, shared with q_est_error
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = samp
       .join(t.alias("ta"), $"da" === col("ta.doc_id"))
@@ -1018,11 +1077,18 @@ object Text {
       .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("j", round(coalesce($"i", lit(0L)) /
         ($"na" + $"nb" - coalesce($"i", lit(0L))), 4))
+      // crossJoin BEFORE the aggregate, grouped on n_cand — so an
+      // EMPTY sampled-candidate set yields zero rows, matching the
+      // oracle's `FROM j CROSS JOIN nall GROUP BY n_cand` shape
+      // (a grouping-less Spark agg would emit one n_sampled=0 row
+      // with null precisions while DuckDB emits none — an engine
+      // mismatch on sparse corpora with no band collisions)
+      .crossJoin(broadcast(nAll))
+      .groupBy($"n_cand")
       .agg(count(lit(1)).as("n_sampled"),
         sum(($"j" >= 0.5).cast("long")).as("n_j50"),
         sum(($"j" >= 0.7).cast("long")).as("n_j70"),
         sum(($"j" >= 0.9).cast("long")).as("n_j90"))
-      .crossJoin(broadcast(nAll))
       .select($"n_cand", $"n_sampled", $"n_j50", $"n_j70", $"n_j90",
         round($"n_j50" / $"n_sampled", 4).as("p50"),
         round($"n_j70" / $"n_sampled", 4).as("p70"),
@@ -1087,10 +1153,11 @@ object Text {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         est.cast("long").as("k"))
-      .filter(pmod($"da" * lit(2654435761L) + $"db", lit(16)) === 0)
+      // same overflow-bounded Knuth mix as q_lsh_precision
+      .filter(pmod(pmod($"da", lit(2147483647L)) * lit(2654435761L) +
+        pmod($"db", lit(2147483647L)), lit(16)) === 0)
       .localCheckpoint(eager = false)
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val t = docTokens(spark, dir) // memoized set table, shared family-wide
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = samp.select($"da", $"db")
       .join(t.alias("ta"), $"da" === col("ta.doc_id"))
@@ -1174,7 +1241,8 @@ object Text {
          |samp AS (SELECT a.doc_id AS da, b.doc_id AS db,
          |    CAST(($eqs) AS BIGINT) AS k
          |  FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
-         |  WHERE (a.doc_id * 2654435761 + b.doc_id) % 16 = 0),
+         |  WHERE ((a.doc_id % 2147483647) * 2654435761
+         |    + (b.doc_id % 2147483647)) % 16 = 0),
          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
          |inter AS (SELECT c.da, c.db, count(*) AS ic
          |  FROM samp c
@@ -1215,7 +1283,8 @@ object Text {
         |samp AS (SELECT da, db FROM (
         |    SELECT a.doc_id AS da, b2.doc_id AS db
         |    FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
-        |  WHERE (da * 2654435761 + db) % 16 = 0),
+        |  WHERE ((da % 2147483647) * 2654435761
+        |    + (db % 2147483647)) % 16 = 0),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |inter AS (SELECT c.da, c.db, count(*) AS ic
         |  FROM samp c

@@ -150,4 +150,19 @@ class SketchSpec extends SparkSuite with Matchers {
     fast.keySet shouldBe ref.keySet
     fast.foreach { case (id, sig) => sig shouldBe ref(id) }
   }
+
+  test("graft_minhash20 of an empty/all-null array is NULL, not an NPE") {
+    // ADVICE r6: defineCodeGen never set ev.isNull, so under
+    // whole-stage codegen the null signature reached downstream
+    // consumers as a non-null ArrayData. The projection + element_at
+    // below exercises exactly that generated path.
+    val out = spark.sql(
+      """SELECT element_at(graft_minhash20(a), 1) AS h FROM VALUES
+        |  (array('tok')), (array()), (array(CAST(NULL AS STRING)))
+        |  AS t(a)""".stripMargin).collect()
+    assert(out.length == 3)
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
 }
