@@ -31,21 +31,36 @@ object Corpus {
   /** Same tokenizer as Text.toks — the oracle parity contract. */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
-  /** Order-deterministic double sum: sort the per-term values and
-    * left-fold sequentially. Both engines hold the same multiset of
-    * per-term doubles (each term is single-expression arithmetic on
-    * identical inputs, hence bit-identical under IEEE 754), so the
-    * sorted sequence — and therefore the sequential fold — is
-    * bit-identical too; equal values commute in summation, so ties
-    * in the sort order cannot matter. This is the standing fix for
-    * the round-half hash-tie class (three real failures r5–r6): a
-    * parallel double sum is partition-order-dependent, and its
-    * ±1e-13 noise straddles decimal-rounding boundaries. Mirrored in
-    * DuckDB as list_reduce(list_prepend(0.0, list_sort(list(term))),
-    * (a,b) -> a+b). Per-group term lists are group-grain (a doc's
-    * tokens), never corpus-grain — scale-safe at 100 TB. */
-  private def sortedSum(terms: Column): Column =
-    aggregate(sort_array(terms), lit(0.0d), (acc, x) => acc + x)
+  /** Exact integer-term quantization for the log-sum family: each
+    * per-term double (single-expression arithmetic on identical
+    * inputs, hence bit-identical under IEEE 754 on both engines) is
+    * quantized ONCE to integer pico-nats — round(term·1e12) as
+    * BIGINT; round-to-int of the same double agrees across engines
+    * (half away from zero on both — the mechanism r7 proved for
+    * q_ppl_bucket's score_e6) — and aggregated with a plain long
+    * `sum`: exact, commutative, order-free, map-side combinable.
+    * This is the standing fix for the round-half hash-tie class
+    * (three real failures r5–r6): a parallel DOUBLE sum is
+    * partition-order-dependent and its ±1e-13 noise straddles
+    * decimal-rounding boundaries; an integer sum cannot. It replaces
+    * r7's sorted-fold (collect_list + sort_array + sequential
+    * aggregate), which was tie-safe but paid a per-doc array
+    * build/sort (+51% on q_ppl_bucket, +25% on q_unigram_lm).
+    * Mirrored in DuckDB as sum(CAST(round((term) * 1e12) AS BIGINT)).
+    * Quantization error is ≤ 5e-13 per term — a 10⁶-token doc
+    * accumulates ≤ 5e-7 absolute, invisible at round-6 of a per-token
+    * MEAN (error /n again). Overflow bound: |term| ≤ 20 nats ⇒ 2e13
+    * per term, so a per-group sum stays inside long (9.2e18) to
+    * ~4.6e5 terms; Σc·ln c ≤ n·ln n keeps entropy terms inside long
+    * to n ≈ 5e5 — chunked pre-training docs sit orders below both. */
+  private def e12(term: Column): Column =
+    round(term * lit(1.0e12)).cast("long")
+
+  /** Unscale an e12 integer sum to a rounded per-term mean:
+    * round(sum/n/1e12, 6), the exact division-order mirror of the
+    * DuckDB `round(CAST(s AS DOUBLE) / n / 1e12, 6)`. */
+  private def meanOfE12(sumE12: Column, n: Column): Column =
+    round(sumE12.cast("double") / n / lit(1.0e12), 6)
 
   /** L4+ — TF-IDF: tf(doc, term) × ln(N / df(term)), terms with
     * tf ≥ 2. ln of the same double ratio on both engines, rounded at
@@ -80,10 +95,10 @@ object Corpus {
     * total as a scalar-broadcast, tokens re-joined to the vocab by
     * plain shuffle hash join (a vocabulary table is corpus-derived —
     * never hint-broadcast), one doc-keyed avg. ln of the identical
-    * double ratio on both engines; the per-doc mean is a sortedSum
-    * fold over the token log-probs (order-deterministic — see
-    * sortedSum), rounded at 6 AFTER the fold; ORDER BY integer
-    * doc_id only. */
+    * double ratio on both engines; each log-prob is quantized to
+    * integer pico-nats and summed exactly (see e12 — order-free,
+    * map-side combinable), rounded at 6 AFTER the unscaled mean;
+    * ORDER BY integer doc_id only. */
   def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables.documents(spark, dir)
@@ -95,9 +110,9 @@ object Corpus {
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        collect_list($"logp").as("lps"))
+        sum(e12($"logp")).as("s_e12"))
       .select($"doc_id", $"n_toks",
-        round(sortedSum($"lps") / $"n_toks", 6).as("avg_logp"))
+        meanOfE12($"s_e12", $"n_toks").as("avg_logp"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -413,9 +428,10 @@ object Corpus {
     * the three normalizers (general total, in-domain total, vocab
     * size) collapse into ONE broadcast scalar row; tokens re-join the
     * two count tables by UNHINTED shuffle joins — vocabulary tables
-    * are corpus-derived and never hint-broadcast. One doc-keyed
-    * sortedSum fold over the per-token ratios (order-deterministic),
-    * rounded at 6 after the fold; ORDER BY integer doc_id only. */
+    * are corpus-derived and never hint-broadcast. Per-token LLRs are
+    * quantized to integer pico-nats and summed exactly (see e12),
+    * rounded at 6 after the unscaled mean; ORDER BY integer doc_id
+    * only. */
   def qMooreLewis(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -434,9 +450,9 @@ object Corpus {
           ($"ti" + $"v")) -
         log(($"cg" + lit(1L)).cast("double") / ($"tg" + $"v")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), collect_list($"llr").as("llrs"))
+      .agg(count(lit(1)).as("n_toks"), sum(e12($"llr")).as("s_e12"))
       .select($"doc_id", $"n_toks",
-        round(sortedSum($"llrs") / $"n_toks", 6).as("ml_score"))
+        meanOfE12($"s_e12", $"n_toks").as("ml_score"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -444,9 +460,10 @@ object Corpus {
     * lexical-diversity quality signal (spam and keyword-stuffed docs
     * sit at the low-entropy tail; boilerplate-heavy docs at low TTR).
     * entropy = ln(n) − Σ c·ln(c) / n over per-doc token counts — one
-    * (doc, tok) hash-agg then one doc-keyed sortedSum fold
-    * (order-deterministic); no window, no join. Floats rounded at 6
-    * after the fold; ORDER BY integer doc_id. */
+    * (doc, tok) hash-agg then one doc-keyed exact integer-term sum
+    * (c·ln c quantized to pico-nats, see e12); no window, no join.
+    * Floats rounded at 6 after the unscaled subtraction; ORDER BY
+    * integer doc_id. */
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -454,9 +471,10 @@ object Corpus {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
-        collect_list($"c".cast("double") * log($"c")).as("terms"))
+        sum(e12($"c".cast("double") * log($"c"))).as("s_e12"))
       .select($"doc_id", $"n_toks", $"n_types",
-        round(log($"n_toks") - sortedSum($"terms") / $"n_toks", 6)
+        round(log($"n_toks") -
+          $"s_e12".cast("double") / $"n_toks" / lit(1.0e12), 6)
           .as("entropy"),
         round($"n_types".cast("double") / $"n_toks", 6).as("ttr"))
       .orderBy($"doc_id".asc_nulls_first)
@@ -566,21 +584,23 @@ object Corpus {
     *
     * Plan shape: one vocabulary-keyed count agg + scalar-broadcast
     * total + UNHINTED vocab re-join (corpus-derived — never hinted)
-    * + one doc-keyed sortedSum fold — q_unigram_lm's plan — then
-    * ntile over a source-partitioned window (q_rfm's accepted shape:
-    * no unpartitioned window at any scale; each source ranks
+    * + one doc-keyed exact integer-term sum — q_unigram_lm's plan —
+    * then ntile over a source-partitioned window (q_rfm's accepted
+    * shape: no unpartitioned window at any scale; each source ranks
     * independently). Ordering inside the window is (integer score,
     * doc_id) — a TOTAL order, so ntile is partition-count-invariant.
     *
-    * Float discipline: the per-doc score is quantized ONCE to
-    * integer micro-nats (round(mean·1e6) as BIGINT — deterministic
-    * on a sortedSum mean: round-to-int of the same double agrees
-    * across engines, unlike round(x, d) whose 10^d scaling re-rounds
-    * differently per engine), and the decile profile SUMS those
-    * integers — an avg of 6dp-rounded doubles lands on an exact
-    * .5·10⁻⁶ boundary about one row in ten (sum·10⁶/n_docs hits
-    * halves whenever the integer sum ≡ n/2 mod n), the r6 MAE
-    * failure class, so the mean is not emitted as a float at all. */
+    * Float discipline: per-token log-probs are quantized to integer
+    * pico-nats and summed exactly (see e12), then the per-doc score
+    * is re-quantized ONCE to integer micro-nats
+    * (round(s_e12/n/1e6) as BIGINT — round-to-int of the same
+    * double agrees across engines, unlike round(x, d) whose 10^d
+    * scaling re-rounds differently per engine), and the decile
+    * profile SUMS those integers — an avg of 6dp-rounded doubles
+    * lands on an exact .5·10⁻⁶ boundary about one row in ten
+    * (sum·10⁶/n_docs hits halves whenever the integer sum ≡ n/2
+    * mod n), the r6 MAE failure class, so the mean is not emitted
+    * as a float at all. */
   def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables.documents(spark, dir)
@@ -589,11 +609,12 @@ object Corpus {
     val total = vocab.agg(sum($"cnt").as("total"))
     val scored = t.join(vocab, "tok")
       .crossJoin(broadcast(total))
+      .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_toks"),
-        collect_list(log($"cnt".cast("double") / $"total")).as("lps"))
+        sum(e12($"logp")).as("s_e12"))
       .select($"doc_id", $"source",
-        round(sortedSum($"lps") / $"n_toks" * lit(1000000.0d))
+        round($"s_e12".cast("double") / $"n_toks" / lit(1000000.0d))
           .cast("long").as("score_e6"))
     val w = Window.partitionBy($"source")
       .orderBy($"score_e6".asc_nulls_first, $"doc_id".asc_nulls_first)
@@ -779,9 +800,9 @@ object Corpus {
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
         |s AS (SELECT doc_id, source,
-        |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        list_sort(list(ln(cnt / total)))), (a, b) -> a + b)
-        |      / count(*) * 1000000.0) AS BIGINT) AS score_e6
+        |    CAST(round(CAST(sum(CAST(round(ln(cnt / total) * 1e12)
+        |        AS BIGINT)) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
+        |      AS score_e6
         |  FROM t JOIN v USING (tok) CROSS JOIN tot
         |  GROUP BY doc_id, source),
         |d AS (SELECT source, score_e6, ntile(10) OVER (
@@ -855,11 +876,10 @@ object Corpus {
         |    (SELECT count(*) FROM gen) AS v,
         |    (SELECT CAST(coalesce(sum(ci), 0) AS BIGINT) FROM ind) AS ti)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_sort(list(
+        |  round(CAST(sum(CAST(round((
         |        ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
-        |        - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))))),
-        |      (a, b) -> a + b) / count(*), 6) AS ml_score
+        |        - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))) * 1e12)
+        |      AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) AS ml_score
         |FROM t JOIN gen USING (tok) LEFT JOIN ind USING (tok) CROSS JOIN s
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -870,12 +890,12 @@ object Corpus {
         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
         |    CAST(count(*) AS BIGINT) AS n_types,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_sort(list(CAST(c AS DOUBLE) * ln(c)))),
-        |      (a, b) -> a + b) AS s
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(c) * 1e12) AS BIGINT))
+        |      AS s_e12
         |  FROM c GROUP BY doc_id)
         |SELECT doc_id, n_toks, n_types,
-        |  round(ln(n_toks) - s / n_toks, 6) AS entropy,
+        |  round(ln(n_toks) - CAST(s_e12 AS DOUBLE) / n_toks / 1e12, 6)
+        |    AS entropy,
         |  round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr
         |FROM a
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -906,9 +926,8 @@ object Corpus {
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_sort(list(ln(cnt / total)))), (a, b) -> a + b)
-        |    / count(*), 6) AS avg_logp
+        |  round(CAST(sum(CAST(round(ln(cnt / total) * 1e12) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 1e12, 6) AS avg_logp
         |FROM t JOIN v USING (tok) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,

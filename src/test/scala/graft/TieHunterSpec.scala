@@ -1,39 +1,71 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 /** Standing sweep for the round-half hash-tie class (three real
   * failures r5–r6: q_min_cost_supplier, q_est_error,
   * q_bigram_entropy): every registered oracle SQL is run through
   * tools/tiecheck.py, which perturbs each round(E, d) site by ±1e-9
   * and fails if any output moves without a written TIE_SAFE
-  * justification (sorted-fold / lattice / foldless — see the tool).
+  * justification (integer-term / sorted-fold / lattice — see the
+  * tool). The TIE_SAFE ledger itself is audited on EVERY build via
+  * the tool's --ledger-only mode (no DuckDB needed): each entry
+  * records the mechanism marker regex and the round-site count its
+  * safety argument covers, so rewriting a listed query (e.g.
+  * dropping an integer quantize, adding a round site) fails the
+  * test suite instead of silently inheriting a stale argument.
   *
-  * Runs DuckDB via python3, so it cancels (not fails) on hosts
-  * without the dev toolchain; the library itself never depends on
-  * either.
+  * The full sweep runs DuckDB via python3, so it cancels (not
+  * fails) on hosts without the dev toolchain; the library itself
+  * never depends on either.
   */
 class TieHunterSpec extends AnyFunSuite {
 
-  private def haveTool: Boolean =
+  /** tools/tiecheck.py resolved against the build root (user.dir is
+    * the forked test JVM's working directory, which sbt sets to the
+    * project base); an absent tool cancels, never fails. */
+  private val tool: Path =
+    Paths.get(sys.props("user.dir")).resolve("tools/tiecheck.py")
+
+  private def havePython: Boolean =
+    try {
+      new ProcessBuilder("python3", "--version")
+        .redirectErrorStream(true).start().waitFor() == 0
+    } catch { case _: Throwable => false }
+
+  private def haveDuckdb: Boolean =
     try {
       new ProcessBuilder("python3", "-c", "import duckdb")
         .redirectErrorStream(true).start().waitFor() == 0
     } catch { case _: Throwable => false }
 
+  private def run(args: String*): (Int, String) = {
+    val pb = new ProcessBuilder(("python3" +: tool.toString +: args): _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    (proc.waitFor(), out)
+  }
+
+  test("TIE_SAFE ledger matches the oracle registry (no-DB audit)") {
+    assume(Files.isRegularFile(tool), s"$tool missing")
+    assume(havePython, "python3 not available on this host")
+    val oraclePath = Files.createTempFile("oracle_sql", ".json")
+    Files.writeString(oraclePath, Verify.oracleJson)
+    val (code, out) = run("--ledger-only", oraclePath.toString)
+    Files.deleteIfExists(oraclePath)
+    assert(code == 0, s"stale TIE_SAFE ledger entries:\n$out")
+  }
+
   test("no unexplained rounding-tie hazards across the registry (sf0.001)") {
-    assume(haveTool, "python3+duckdb not available on this host")
+    assume(Files.isRegularFile(tool), s"$tool missing")
+    assume(haveDuckdb, "python3+duckdb not available on this host")
     val sfDir = "/root/testdata/sf0.001"
     assume(Files.isDirectory(Paths.get(sfDir)), s"$sfDir missing")
     val oraclePath = Files.createTempFile("oracle_sql", ".json")
     Files.writeString(oraclePath, Verify.oracleJson)
-    val pb = new ProcessBuilder(
-      "python3", "tools/tiecheck.py", sfDir, oraclePath.toString)
-    pb.redirectErrorStream(true)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes())
-    val code = proc.waitFor()
+    val (code, out) = run(sfDir, oraclePath.toString)
     Files.deleteIfExists(oraclePath)
     assert(code == 0, s"tiecheck flagged rounding-tie hazards:\n$out")
   }

@@ -17,13 +17,16 @@ variant (the r6 MAE failure) is caught too, not just final-SELECT
 rounds.
 
 Usage: python3 tools/tiecheck.py <sfDir> <oracleSqlJson> [query ...]
+       python3 tools/tiecheck.py --ledger-only <oracleSqlJson>
   <oracleSqlJson> is Verify's outDir/oracle_sql.json (or any file in
-  the same {"name": "sql"} shape).
-Exit 0 = no hazards; 1 = at least one flagged query.
+  the same {"name": "sql"} shape). --ledger-only audits the TIE_SAFE
+  ledger against the oracle text without running DuckDB (no duckdb
+  install needed) — it is the build-time gate that a whitelisted
+  query still uses the mechanism its safety argument claims.
+Exit 0 = no hazards; 1 = at least one flagged query / stale ledger.
 Dev-only tool; never shipped with the library.
 """
 import sys, json, re
-import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -32,32 +35,55 @@ EPS = 1e-9
 
 # Queries whose near-boundary round sites are PROVEN engine-stable.
 # A FLAG on a listed query reports as "flag(tie-safe)" and does not
-# fail the sweep. Every entry must carry the safety argument; a new
-# query that flags without an entry FAILS — rewrite it (sortedSum /
+# fail the sweep. Every entry must carry the safety argument PLUS a
+# verifiable profile — `mech`, a regex the oracle SQL must still
+# match (the mechanism marker: integer-quantize cast, list_sort,
+# the lattice expression), and `rsites`, the expected number of
+# round(E, d) digit-sites in the oracle text — so a rewrite cannot
+# silently inherit a stale safety argument: if the mechanism marker
+# disappears or the round-site count changes, the entry FAILS (both
+# in the DuckDB sweep and in the duckdb-free --ledger-only audit
+# that TieHunterSpec runs on every build). A new query that flags
+# without an entry FAILS — rewrite it (integer-term quantization /
 # integer space) or prove it and list it.
 #
-# Two admitted argument classes:
-#  * sorted-fold: the rounded value is a sortedSum (Corpus.scala) —
-#    a value-sorted sequential fold, bit-identical on both engines
-#    (same term multiset, same order, IEEE-deterministic ops); the
-#    residual risk window is one ln ulp (~1e-16), ~1e-10 per row of
-#    round(x, 6) boundary mass, vs ~1e-6 for a parallel fold.
+# Admitted argument classes:
+#  * integer-term: each per-term double is quantized ONCE to an
+#    integer grid (round(term·1e12) AS BIGINT — round-to-int of the
+#    same double agrees across engines, proven r7 on score_e6) and
+#    summed in exact long arithmetic: order-free by construction;
+#    the residual risk window is one ln ulp (~1e-16) at the per-term
+#    quantize, ~1e-10 per row of boundary mass.
+#  * sorted-fold: the rounded value is a value-sorted sequential
+#    fold, bit-identical on both engines (same term multiset, same
+#    order, IEEE-deterministic ops); same residual window. Retained
+#    for q_bigram_entropy (struct-keyed sort).
 #  * lattice: per-row single-expression rational arithmetic whose
 #    values live on a coarse lattice — any value is either exactly
 #    ON a .5 tie (both engines round half away from zero: verified
 #    DuckDB round(312.5)=313, Spark BigDecimal HALF_UP) or at least
 #    ~1/(2·10^d·n_max) away, orders of magnitude beyond double noise.
+INT_TERM = r"\* 1e12\)\s*AS BIGINT"
 TIE_SAFE = {
-    "q_bigram_entropy": "sorted-fold (struct-sorted per-doc terms)",
-    "q_token_entropy": "sorted-fold (c·ln c terms); ttr is lattice "
-                       "(n_types/n_toks, n_toks ≤ doc length)",
-    "q_unigram_lm": "sorted-fold (per-token log-probs)",
-    "q_moore_lewis": "sorted-fold (per-token LLR terms)",
-    "q_quality_score": "lattice: ttr/stop_ratio are k/n divisions "
-                       "(≥2.5e-8 off-tie unless binary-exact odd/2^k, "
-                       "where both engines agree half-away); score is "
-                       "0.6/0.4-weighted 4dp lattice — its 2e-5 grid "
-                       "never lands on a .00005 tie",
+    "q_bigram_entropy": dict(
+        why="sorted-fold (struct-sorted per-doc terms)",
+        mech=r"list_sort\(", rsites=1),
+    "q_token_entropy": dict(
+        why="integer-term (c·ln c in pico-nats); ttr is lattice "
+            "(n_types/n_toks, n_toks ≤ doc length)",
+        mech=INT_TERM, rsites=2),
+    "q_unigram_lm": dict(
+        why="integer-term (per-token log-probs in pico-nats)",
+        mech=INT_TERM, rsites=1),
+    "q_moore_lewis": dict(
+        why="integer-term (per-token LLR in pico-nats)",
+        mech=INT_TERM, rsites=1),
+    "q_quality_score": dict(
+        why="lattice: ttr/stop_ratio are k/n divisions (≥2.5e-8 "
+            "off-tie unless binary-exact odd/2^k, where both engines "
+            "agree half-away); score is 0.6/0.4-weighted 4dp "
+            "lattice — its 2e-5 grid never lands on a .00005 tie",
+        mech=r"0\.6|0\.4", rsites=3),
     # k/n-division lattice: a single-division output k/n has scaled
     # boundary distance |k·10^d·2 − n(2m+1)|/(2n) ≥ 1/(2n) unless the
     # tie is exact; with n ≤ ~10^6 group sizes that is ≥ 5e-7 scaled,
@@ -65,17 +91,25 @@ TIE_SAFE = {
     # ties only arise binary-exact (k/2^a groups, e.g. 58/64), where
     # x·10^d is an exact product and both engines round half away
     # from zero identically.
-    "q_bounce_rate": "k/n lattice (bounces/sessions per group; exact "
-                     "ties like 58/64 are binary-exact, engines agree)",
-    "q_doc_stats": "integer-avg lattice (sum(int)/n with exact "
-                   "double integer sums; n=2^a groups tie binary-"
-                   "exactly, engines agree)",
-    "q_rank_dist": "k/n lattice (percent_rank/cume_dist over n ≤ "
-                   "~10^4 per segment: scaled distance ≥ 1/(2n) ≈ "
-                   "8e-5, no exact ties possible for odd n−1)",
-    "q_tfidf": "foldless: tf·ln(N/df) is per-row single-expression "
-               "(measured nearest scaled distance 3e-4 at sf0.1; "
-               "cross-engine slack is one ln ulp ≈ 1e-9 scaled)",
+    "q_bounce_rate": dict(
+        why="k/n lattice (bounces/sessions per group; exact ties "
+            "like 58/64 are binary-exact, engines agree)",
+        mech=None, rsites=1),
+    "q_doc_stats": dict(
+        why="integer-avg lattice (sum(int)/n with exact double "
+            "integer sums; n=2^a groups tie binary-exactly, engines "
+            "agree)",
+        mech=None, rsites=2),
+    "q_rank_dist": dict(
+        why="k/n lattice (percent_rank/cume_dist over n ≤ ~10^4 per "
+            "segment: scaled distance ≥ 1/(2n) ≈ 8e-5, no exact ties "
+            "possible for odd n−1)",
+        mech=None, rsites=2),
+    "q_tfidf": dict(
+        why="foldless: tf·ln(N/df) is per-row single-expression "
+            "(measured nearest scaled distance 3e-4 at sf0.1; "
+            "cross-engine slack is one ln ulp ≈ 1e-9 scaled)",
+        mech=r"ln\(", rsites=1),
 }
 
 
@@ -176,7 +210,45 @@ def rows_of(df):
     return sorted(rows, key=repr)
 
 
+def digit_round_sites(sql):
+    """Count round(E, d) sites with an explicit digit arg — the
+    perturbed hazard class; the profile recorded per TIE_SAFE entry."""
+    return sum(1 for s in find_sites(sql)
+               if s[3] == "round" and split_top_comma(sql[s[1]:s[2]])[1])
+
+
+def audit_ledger(oracle):
+    """Check every TIE_SAFE entry against the oracle text: the
+    mechanism marker must still match and the digit-round-site count
+    must equal the recorded profile. Returns a list of error lines —
+    this needs no DuckDB, so it runs as a plain build-time test."""
+    errs = []
+    for name, ent in sorted(TIE_SAFE.items()):
+        sql = oracle.get(name)
+        if sql is None:
+            errs.append(f"LEDGER {name}: listed in TIE_SAFE but not in "
+                        "the oracle registry")
+            continue
+        if ent["mech"] and not re.search(ent["mech"], sql):
+            errs.append(f"LEDGER {name}: oracle no longer matches the "
+                        f"claimed mechanism /{ent['mech']}/ — the "
+                        "safety argument is stale; rewrite or relist")
+        n = digit_round_sites(sql)
+        if n != ent["rsites"]:
+            errs.append(f"LEDGER {name}: {n} round(E, d) sites, ledger "
+                        f"records {ent['rsites']} — a round site was "
+                        "added/removed without updating the profile")
+    return errs
+
+
 def main():
+    if sys.argv[1] == "--ledger-only":
+        errs = audit_ledger(json.load(open(sys.argv[2])))
+        for e in errs:
+            print(e)
+        print(f"== ledger: {len(TIE_SAFE)} entries, {len(errs)} stale ==")
+        sys.exit(1 if errs else 0)
+    import duckdb
     sfdir, oracle_path = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
@@ -184,6 +256,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     n_ok = n_flag = n_skip = 0
+    for e in audit_ledger(oracle):
+        print(e)
+        n_flag += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -202,7 +277,7 @@ def main():
             print(f"OK   {name}")
             n_ok += 1
         elif name in TIE_SAFE:
-            print(f"OK   {name} (flag, tie-safe: {TIE_SAFE[name]})")
+            print(f"OK   {name} (flag, tie-safe: {TIE_SAFE[name]['why']})")
             n_ok += 1
         else:
             diffs = [(a, b) for a, b in zip(base, up) if a != b] + \
