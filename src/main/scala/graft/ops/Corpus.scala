@@ -361,6 +361,56 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L64 — cross-split contamination audit (the composition a real
+    * pre-training pipeline always runs after splitting): does any
+    * val/test doc share a positional 8-gram with a TRAIN doc? A
+    * val/test doc whose text leaks into train overstates every eval
+    * run on it; this emits, per held-out doc, its distinct-8-gram
+    * count, how many of those grams occur in ≥1 train doc, and a
+    * leak flag. Composes L27's hash-threshold split (sha-256 u16 vs
+    * 80/10/10 — growth-stable, engine-independent) with L23's
+    * positional 8-grams.
+    *
+    * Scale shape: ONE sha-256 per doc (the split is attached before
+    * the gram explode, never recomputed per gram); grams are
+    * distinct'd in-stage (array_distinct before explode) so the
+    * shuffle carries (doc, gram) pairs at distinct-gram grain. The
+    * train gram set is corpus-sized — unlike L23's benchmark side it
+    * is NEVER broadcast: held-out grams meet it in a plain shuffle
+    * hash join on the gram key (at 100 TB the join key would be
+    * xxhash64(gram) — 8 bytes instead of ~50 — with the string form
+    * here as the oracle parity contract, the q_ngram_coverage
+    * doctrine). Output is all-integer (no round site, nothing for
+    * the tie sweep to flag); ORDER BY integer doc_id. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 8)
+      .withColumn("u16",
+        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when($"u16" < 0.8 * 65536, "train")
+          .when($"u16" < 0.9 * 65536, "val")
+          .otherwise("test"))
+    val g = d.select($"doc_id", $"split",
+      explode(array_distinct(transform(
+        sequence(lit(1), size($"t") - 7),
+        i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
+    val train = g.filter($"split" === "train")
+      .select($"gram").distinct()
+      .withColumn("in_train", lit(1))
+    g.filter($"split" =!= "train")
+      .join(train, Seq("gram"), "left")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n8"),
+        sum(coalesce($"in_train", lit(0))).cast("long").as("leak8"))
+      .select($"doc_id", $"split", $"n8", $"leak8",
+        ($"leak8" > 0).cast("int").as("leaked"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** L28 — vocabulary growth (Heaps-law curve) per source: how many
     * NEW tokens each document introduces to its source's stream, and
     * the running vocabulary size. Two hash-aggs (token→first doc,
@@ -739,6 +789,7 @@ object Corpus {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_ngram_coverage" -> (qNgramCoverage _),
     "q_split_assign" -> (qSplitAssign _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_sample" -> (qMixtureSample _),
@@ -974,6 +1025,33 @@ object Corpus {
         |FROM (SELECT doc_id, lang,
         |  CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
         |    AS BIGINT) AS u16 FROM documents)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_split_leakage" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN u16 < 0.8 * 65536 THEN 'train'
+        |         WHEN u16 < 0.9 * 65536 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS u16 FROM documents)),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 7),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |    FROM tok WHERE len(t) >= 8)),
+        |gs AS (SELECT g.doc_id, s.split, g.gram
+        |  FROM g JOIN s USING (doc_id)),
+        |tr AS (SELECT DISTINCT gram FROM gs WHERE split = 'train')
+        |SELECT gs.doc_id, gs.split, count(*) AS n8,
+        |  CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS leak8,
+        |  CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    AS INT) AS leaked
+        |FROM gs LEFT JOIN tr ON gs.gram = tr.gram
+        |WHERE gs.split <> 'train'
+        |GROUP BY gs.doc_id, gs.split
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_vocab_growth" ->
       """WITH t AS (SELECT DISTINCT source, doc_id, tok FROM (

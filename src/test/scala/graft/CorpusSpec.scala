@@ -44,6 +44,27 @@ class CorpusSpec extends SparkSuite with Matchers {
       .as[(String, Long)].collect().toSeq shouldBe Seq(("hot", 2L))
   }
 
+  test("split leakage: held-out docs flag iff they share an 8-gram with train") {
+    import spark.implicits._
+    // sha-256 u16 split of small ids: 1→train, 2→val, 5→test, 20→test
+    // (fixed by the hash, engine-independent). Doc 2 shares the
+    // 8-gram "a b c d e f g h" with train doc 1; doc 5 shares
+    // nothing; doc 20 is under 8 tokens and must not appear at all.
+    val dir = tmpTables("leak") { d =>
+      Seq(
+        (1L, "a b c d e f g h x"),
+        (2L, "a b c d e f g h q q q"),
+        (5L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        (20L, "tiny doc"))
+        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qSplitLeakage(spark, dir)
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+    rows shouldBe Seq(
+      (2L, "val", 4L, 1L, 1),
+      (5L, "test", 1L, 0L, 0))
+  }
+
   test("median interpolates the middle pair; mode ties break to the smaller value") {
     import spark.implicits._
     val dir = tmpTables("medmode") { d =>
