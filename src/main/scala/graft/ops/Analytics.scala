@@ -434,24 +434,26 @@ object Analytics {
     * broadcast back as a cross join. Never a self-join of two full
     * scans.
     *
-    * Float discipline (tiecheck catch, r7): extendedprice·(1−disc)
-    * is a 4-decimal money lattice, so ~1% of per-part sums land
-    * EXACTLY on a .005 boundary and round(sum, 2) resolves by fold
-    * noise — the r6 hash-tie class. The emitted revenue therefore
-    * sums exact integer ten-thousandths (each term·10⁴ is within
-    * 1e-7 of its integer — round-to-int is engine-identical) and
-    * re-rounds to cents in integer space; the 1.25×-mean filter
-    * keeps the double sum (threshold selectivity, not output). */
+    * Float discipline (tiecheck catch, r7; membership r8): the
+    * emitted revenue sums exact integer ten-thousandths (each
+    * term·10⁴ is within 1e-7 of its integer — round-to-int is
+    * engine-identical) and re-rounds to cents in integer space. Row
+    * MEMBERSHIP is integer-exact too: r > 1.25·avg(r) is evaluated
+    * as 4·r4·n > 5·Σr4 in widened exact arithmetic (decimal here,
+    * HUGEINT in the oracle — representation differs, the boolean
+    * cannot), so cross-engine fold noise near the threshold can no
+    * longer flip which parts appear — the residual tie class the
+    * r7 fix left open for row selection. */
   def qPartShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val term = $"l_extendedprice" * (lit(1.0) - $"l_discount")
     val rev = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")
-      .agg(sum(term).as("r"),
-        sum(round(term * 10000).cast("long")).as("r4"))
-    val total = rev.agg(avg($"r").as("t"))
+      .agg(sum(round(term * 10000).cast("long")).as("r4"))
+    val total = rev.agg(sum($"r4").as("t4"), count(lit(1)).as("n"))
     rev.crossJoin(broadcast(total))
-      .filter($"r" > lit(1.25) * $"t")
+      .filter($"r4".cast("decimal(38,0)") * $"n" * 4 >
+        $"t4".cast("decimal(38,0)") * 5)
       .select($"l_partkey",
         (round($"r4" / lit(100.0)) / lit(100.0)).as("revenue"))
       .orderBy($"revenue".desc_nulls_last, $"l_partkey".asc_nulls_first)
@@ -462,10 +464,12 @@ object Analytics {
     * per-supplier aggregate to one row, broadcast back for the
     * equality filter — the scale-correct alternative to a global
     * (unpartitioned) rank window, which would sort everything on one
-    * task. Within-engine double equality is exact (same computed
-    * values); the emitted revenue goes through exact integer
-    * ten-thousandths like q_part_share — a money sum rounded at 2dp
-    * can land exactly on a .005 lattice boundary (tiecheck class). */
+    * task. Both the argmax and the emitted revenue run on the exact
+    * integer ten-thousandths aggregate (r4): a money sum rounded at
+    * 2dp can land exactly on a .005 lattice boundary (tiecheck
+    * class), and a double-sum argmax near a revenue tie could pick
+    * different winners per engine — max(r4) with r4 = max(r4) makes
+    * the winning row set integer-deterministic too (r8). */
   def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val term = $"l_extendedprice" * (lit(1.0) - $"l_discount")
@@ -473,11 +477,10 @@ object Analytics {
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(sum(term).as("total_rev"),
-        sum(round(term * 10000).cast("long")).as("r4"))
-    val mx = srev.agg(max($"total_rev").as("mx"))
+      .agg(sum(round(term * 10000).cast("long")).as("r4"))
+    val mx = srev.agg(max($"r4").as("mx4"))
     srev.crossJoin(broadcast(mx))
-      .filter($"total_rev" === $"mx")
+      .filter($"r4" === $"mx4")
       .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name",
         (round($"r4" / lit(100.0)) / lit(100.0)).as("total_rev"))
@@ -1402,17 +1405,19 @@ object Analytics {
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
     "q_part_share" ->
       """WITH rev AS (
-        |  SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS r,
+        |  SELECT l_partkey,
         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
         |      * 10000) AS BIGINT)) AS BIGINT) AS r4
-        |  FROM lineitem GROUP BY l_partkey)
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(r4) AS HUGEINT) AS t4, count(*) AS n
+        |  FROM rev)
         |SELECT l_partkey, round(r4 / 100.0) / 100.0 AS revenue
-        |FROM rev
-        |WHERE r > 1.25 * (SELECT avg(r) FROM rev)
+        |FROM rev CROSS JOIN tot
+        |WHERE CAST(r4 AS HUGEINT) * n * 4 > t4 * 5
         |ORDER BY revenue DESC NULLS LAST, l_partkey ASC NULLS FIRST""".stripMargin,
     "q_top_supplier" ->
       """WITH srev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_rev,
+        |  SELECT l_suppkey,
         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
         |      * 10000) AS BIGINT)) AS BIGINT) AS r4
         |  FROM lineitem
@@ -1421,7 +1426,7 @@ object Analytics {
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, round(r4 / 100.0) / 100.0 AS total_rev
         |FROM supplier JOIN srev ON s_suppkey = l_suppkey
-        |WHERE total_rev = (SELECT max(total_rev) FROM srev)
+        |WHERE r4 = (SELECT max(r4) FROM srev)
         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
     "q_local_revenue" ->
       """SELECT n_name,

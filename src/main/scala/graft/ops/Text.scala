@@ -417,15 +417,29 @@ object Text {
     * — Bench/Profile call this per timing pass. */
   def clearSigCache(): Unit = { sigCache.clear(); tokCache.clear() }
 
+  /** The dirs currently memoized for `spark` across the three
+    * (session, dir) caches — test hook for the one-dir-per-session
+    * eviction bound (not part of the library surface). */
+  private[graft] def memoizedDirs(spark: SparkSession): Set[String] =
+    (sigCache.keys ++ labelCache.keys ++ tokCache.keys)
+      .collect { case (s, d) if s eq spark => d }.toSet
+
   /** Eviction for the (session, dir) memo caches: entries hold
     * localCheckpoint'd DataFrames (executor block-manager storage)
     * and strong SparkSession references, so a long-lived process
-    * that churns sessions would otherwise accumulate both. One
-    * listener per SparkContext drops every entry whose session died
-    * with the context. A single eternal session that churns data
-    * DIRS is not covered by any automatic hook — long-running
-    * harnesses over many inputs should call [[clearSigCache]] /
-    * [[clearLabelCache]] between inputs, as Bench/Profile do.
+    * that churns sessions would otherwise accumulate both. Two
+    * bounds: (1) one listener per SparkContext drops every entry
+    * whose session died with the context; (2) inserting a new
+    * (session, dir) key evicts the SAME session's entries for other
+    * dirs — only one data dir is typically active per session, so
+    * each cache holds at most one dir per live session and an
+    * eternal session iterating many inputs can no longer accumulate
+    * block-manager storage unboundedly (dropping the strong ref
+    * lets the ContextCleaner reclaim the checkpoint blocks; a
+    * harness that interleaves dirs just recomputes — the plans are
+    * pure and deterministic, so reuse or recompute never changes a
+    * result). [[clearSigCache]]/[[clearLabelCache]] remain for
+    * per-pass timing honesty (Bench/Profile).
     * (TrieMap.getOrElseUpdate may evaluate the builder twice under
     * concurrency — benign: the plan is lazy and deterministic.) */
   private val evictionHooked =
@@ -445,6 +459,8 @@ object Text {
             evictionHooked.filterInPlace { case (sc, _) => !sc.isStopped }
           }
         })
+    if (!cache.contains((spark, dir)))
+      cache.filterInPlace { case ((s, d), _) => (s ne spark) || d == dir }
     cache.getOrElseUpdate((spark, dir), compute)
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Analytics, Corpus}
+import graft.ops.{Analytics, Corpus, Text}
 import java.nio.file.Files
 import org.scalatest.matchers.should.Matchers
 
@@ -42,6 +42,26 @@ class CorpusSpec extends SparkSuite with Matchers {
     }
     Corpus.qHeavyHitters(spark, dir)
       .as[(String, Long)].collect().toSeq shouldBe Seq(("hot", 2L))
+  }
+
+  test("memo caches: switching data dirs evicts the previous dir's entries") {
+    import spark.implicits._
+    val d1 = tmpTables("memo1") { d =>
+      Seq((1L, "a b")).toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val d2 = tmpTables("memo2") { d =>
+      Seq((2L, "c d")).toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    Text.clearSigCache(); Text.clearLabelCache()
+    Text.queries("q_minhash_sig")(spark, d1)
+    Text.memoizedDirs(spark) shouldBe Set(d1)
+    // same session, new dir: the old dir's plans (and their strong
+    // refs to checkpoint blocks) must be gone, not accumulated
+    Text.queries("q_minhash_sig")(spark, d2)
+    Text.memoizedDirs(spark) shouldBe Set(d2)
+    Text.clearSigCache(); Text.clearLabelCache()
   }
 
   test("split leakage: held-out docs flag iff they share an 8-gram with train") {

@@ -172,6 +172,59 @@ class StreamingWindowSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("transformWithState TTL evicts idle state and totals re-initialize (T7 on the Spark 4 API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.RunningTotals
+    import org.apache.spark.sql.streaming.TTLConfig
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[RunningTotals.Event]
+    // In processing-time mode the engine SELF-schedules no-data
+    // batches to evaluate TTL, so the query never quiesces: both
+    // processAllAvailable and Trigger.AvailableNow block forever
+    // (measured here — each waits on a stream that always has
+    // another TTL batch to run). Assertions therefore POLL the sink
+    // until the expected update lands (bounded, generous timeout);
+    // data batches flow continuously without any manual nudge.
+    def awaitRow(expect: RunningTotals.Total): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!spark.table("tws_ttl_out").as[RunningTotals.Total]
+               .collect().contains(expect)) {
+        if (System.nanoTime() > deadline)
+          fail(s"sink never received $expect; got: " +
+            spark.table("tws_ttl_out").collect().mkString(", "))
+        Thread.sleep(100)
+      }
+    }
+    val q = RunningTotals.totals(mem.toDS(),
+        TTLConfig(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("tws_ttl_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(RunningTotals.Event("s1", 100))
+      awaitRow(RunningTotals.Total("s1", 1, 100))
+      // outlive the TTL: the next data batch's timestamp is > 500ms
+      // past the insert (sleeping longer only makes it MORE expired —
+      // no flake window)
+      Thread.sleep(2000)
+      mem.addData(RunningTotals.Event("s1", 5))
+      // the state the store hands back must be EXPIRED: totals
+      // RE-initialize to (1, 5) instead of accumulating to (2, 105) —
+      // eviction happened inside the state store, not in our code
+      // (the processor has no timeout logic of its own)
+      awaitRow(RunningTotals.Total("s1", 1, 5))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session_window groups by activity gaps per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
