@@ -52,7 +52,12 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_bigram_entropy",  // per-doc ln fold across partitions
     "q_lsh_precision",   // rounded-jaccard threshold counts
     "q_len_quality",     // corr float sums per source
-    "q_est_error")       // estimator-error means over sampled pairs
+    "q_est_error",       // estimator-error means over sampled pairs
+    "q_split_leakage",   // hash split × train-gram join counts
+    "q_part_share",      // integer-derived 1.25×-mean membership
+    "q_top_supplier",    // integer-derived argmax winner set
+    "q_unigram_lm",      // integer-term pico-nat sums (r8 rewrite)
+    "q_token_entropy")   // integer-term c·ln c sums (r8 rewrite)
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
