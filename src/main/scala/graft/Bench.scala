@@ -68,7 +68,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line next to the build: the harness that
+    // captures stdout keeps only a bounded tail, which has truncated
+    // the per-query map two rounds running — a file survives intact.
+    // Best-effort (read-only CWDs must not fail the bench).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
