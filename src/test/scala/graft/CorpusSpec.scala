@@ -44,6 +44,46 @@ class CorpusSpec extends SparkSuite with Matchers {
       .as[(String, Long)].collect().toSeq shouldBe Seq(("hot", 2L))
   }
 
+  test("part share: a part exactly AT 1.25×mean is excluded (strict integer gate)") {
+    import spark.implicits._
+    // revenues {150, 90}: mean 120, threshold 150 — the 150 part sits
+    // EXACTLY on the boundary, and 4·r4·n > 5·Σr4 is strict, so the
+    // result is empty; no double arithmetic can nudge it in or out
+    val dir = tmpTables("pshare") { d =>
+      Seq((1L, 150.0, 0.0), (2L, 90.0, 0.0))
+        .toDF("l_partkey", "l_extendedprice", "l_discount")
+        .write.parquet(s"$d/lineitem.parquet")
+    }
+    Analytics.qPartShare(spark, dir).count() shouldBe 0L
+    // positive control: {200, 90} → mean 145, threshold 181.25 → one row
+    val dir2 = tmpTables("pshare2") { d =>
+      Seq((1L, 200.0, 0.0), (2L, 90.0, 0.0))
+        .toDF("l_partkey", "l_extendedprice", "l_discount")
+        .write.parquet(s"$d/lineitem.parquet")
+    }
+    Analytics.qPartShare(spark, dir2)
+      .as[(Long, Double)].collect().toSeq shouldBe Seq((1L, 200.0))
+  }
+
+  test("top supplier: an exact revenue tie emits BOTH winners") {
+    import spark.implicits._
+    val q1 = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    val dir = tmpTables("topsup") { d =>
+      Seq((1L, 100.0, 0.0, q1), (2L, 100.0, 0.0, q1), (3L, 50.0, 0.0, q1))
+        .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .write.parquet(s"$d/lineitem.parquet")
+      Seq((1L, "sa"), (2L, "sb"), (3L, "sc"))
+        .toDF("s_suppkey", "s_name")
+        .write.parquet(s"$d/supplier.parquet")
+    }
+    // the argmax runs on the exact integer aggregate, so two suppliers
+    // with identical revenue are BOTH the max — a double-sum argmax
+    // could have split them by fold noise
+    Analytics.qTopSupplier(spark, dir)
+      .as[(Long, String, Double)].collect().toSeq shouldBe
+      Seq((1L, "sa", 100.0), (2L, "sb", 100.0))
+  }
+
   test("memo caches: switching data dirs evicts the previous dir's entries") {
     import spark.implicits._
     val d1 = tmpTables("memo1") { d =>
