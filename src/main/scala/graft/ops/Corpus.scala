@@ -411,6 +411,61 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L65 — fixed-budget stratified selection (largest-remainder /
+    * Hamilton allocation): build an exactly-B-document eval set whose
+    * per-source composition mirrors the corpus, the step after L58
+    * designs weights and L24 resamples by fraction — an eval set
+    * needs an EXACT total, and per-source floors + remainder top-ups
+    * are the standard exact apportionment. quota_s =
+    * floor(B·n_s/N) + 1 for the (B − Σfloor) sources with the
+    * largest remainders (rank by (B·n_s mod N) desc, source asc —
+    * a total order, so the allocation is unique). Each source then
+    * contributes its quota of docs by sha-256 rank — the same
+    * reproducible-selection contract as q_hash_sample (any engine,
+    * any partitioning, stable under corpus growth of OTHER sources).
+    *
+    * Scale shape: counts, remainders, and the remainder RANK all
+    * live at source grain (≤ |sources| rows — the rank is computed
+    * by a bounded self-join count rather than an unpartitioned
+    * window, keeping the no-global-window contract); the quota table
+    * is a true broadcast dim. Doc-grain work is ONE source-
+    * partitioned hash-rank window + the dim join — the q_ppl_bucket
+    * shape. At 100 TB a giant source's rank window would prefilter
+    * candidates by a u16 threshold at ~4× the quota fraction before
+    * ranking (probabilistic bound, verified by count) — documented
+    * here, exact form kept as the oracle parity contract. Output is
+    * the selected docs: exactly B rows at every SF, all-integer. */
+  def qBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 100L
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val per = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val tot = per.agg(sum($"n_s").as("n"))
+    val alloc = per.crossJoin(broadcast(tot))
+      .select($"source", $"n_s",
+        expr(s"(n_s * $budget) div n").as("base"),
+        expr(s"(n_s * $budget) % n").as("rem"))
+    // remainder rank via bounded self-join count (|sources|² pairs):
+    // rr = 1 + #sources strictly ahead in (rem desc, source asc)
+    val rr = alloc.as("a")
+      .join(alloc.select($"source".as("bs"), $"rem".as("brem")),
+        $"brem" > $"rem" || ($"brem" === $"rem" && $"bs" < $"source"),
+        "left")
+      .groupBy($"source", $"n_s", $"base", $"rem")
+      .agg((count($"bs") + 1).as("rr"))
+    val leftover = alloc.agg((lit(budget) - sum($"base")).as("extra"))
+    val quota = rr.crossJoin(broadcast(leftover))
+      .select($"source",
+        ($"base" + when($"rr" <= $"extra", 1L).otherwise(0L)).as("quota"))
+    val w = Window.partitionBy($"source")
+      .orderBy(sha2($"doc_id".cast("string"), 256).asc, $"doc_id".asc)
+    docs.withColumn("rk", row_number().over(w))
+      .join(quota, "source")
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** L28 — vocabulary growth (Heaps-law curve) per source: how many
     * NEW tokens each document introduces to its source's stream, and
     * the running vocabulary size. Two hash-aggs (token→first doc,
@@ -790,6 +845,7 @@ object Corpus {
     "q_ngram_coverage" -> (qNgramCoverage _),
     "q_split_assign" -> (qSplitAssign _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_budget_sample" -> (qBudgetSample _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_sample" -> (qMixtureSample _),
@@ -1052,6 +1108,32 @@ object Corpus {
         |FROM gs LEFT JOIN tr ON gs.gram = tr.gram
         |WHERE gs.split <> 'train'
         |GROUP BY gs.doc_id, gs.split
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_budget_sample" ->
+      """WITH per AS (SELECT source, count(*) AS n_s
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM per),
+        |alloc AS (SELECT source, n_s,
+        |    CAST((n_s * 100) // n AS BIGINT) AS base,
+        |    CAST((n_s * 100) % n AS BIGINT) AS rem
+        |  FROM per CROSS JOIN tot),
+        |rr AS (SELECT a.source, a.base,
+        |    CAST(1 + count(b.source) AS BIGINT) AS rr
+        |  FROM alloc a LEFT JOIN alloc b
+        |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        |  GROUP BY a.source, a.base),
+        |lo AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS extra FROM alloc),
+        |quota AS (SELECT source,
+        |    base + (CASE WHEN rr <= extra THEN 1 ELSE 0 END) AS quota
+        |  FROM rr CROSS JOIN lo),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN quota USING (source)
+        |WHERE r.rk <= quota.quota
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_vocab_growth" ->
       """WITH t AS (SELECT DISTINCT source, doc_id, tok FROM (

@@ -84,6 +84,23 @@ class CorpusSpec extends SparkSuite with Matchers {
       Seq((1L, "sa", 100.0), (2L, "sb", 100.0))
   }
 
+  test("budget sample: largest-remainder quotas sum exactly to the budget") {
+    import spark.implicits._
+    // 120 docs: src0=70, src1=30, src2=20. Floors of 100·n_s/120 are
+    // 58/25/16 (sum 99); remainders 40/0/80 → the one leftover seat
+    // goes to src2 → quotas 58/25/17, total exactly 100
+    val rows = (1 to 70).map(i => (i.toLong, "src0")) ++
+      (71 to 100).map(i => (i.toLong, "src1")) ++
+      (101 to 120).map(i => (i.toLong, "src2"))
+    val dir = tmpTables("budget") { d =>
+      rows.toDF("doc_id", "source").write.parquet(s"$d/documents.parquet")
+    }
+    val got = Corpus.qBudgetSample(spark, dir)
+      .groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("src0" -> 58L, "src1" -> 25L, "src2" -> 17L)
+  }
+
   test("memo caches: switching data dirs evicts the previous dir's entries") {
     import spark.implicits._
     val d1 = tmpTables("memo1") { d =>
