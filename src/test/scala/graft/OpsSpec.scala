@@ -226,6 +226,10 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
       "q_ppl_bucket", "q_domain_mix", "q_lsh_precision",
+      // q_budget_sample hints exactly two 1-row scalar aggregates
+      // (corpus total, leftover-seat count); its quota table is a
+      // source-grain dim left to Catalyst sizing
+      "q_budget_sample",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
