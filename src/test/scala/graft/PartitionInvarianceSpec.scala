@@ -57,7 +57,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_part_share",      // integer-derived 1.25×-mean membership
     "q_top_supplier",    // integer-derived argmax winner set
     "q_unigram_lm",      // integer-term pico-nat sums (r8 rewrite)
-    "q_token_entropy")   // integer-term c·ln c sums (r8 rewrite)
+    "q_token_entropy",   // integer-term c·ln c sums (r8 rewrite)
+    "q_budget_sample")   // remainder-rank seats + sha-rank selection
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
