@@ -450,10 +450,14 @@ object Analytics {
     val rev = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")
       .agg(sum(round(term * 10000).cast("long")).as("r4"))
-    val total = rev.agg(sum($"r4").as("t4"), count(lit(1)).as("n"))
+    // the grand total widens BEFORE summing: a long sum of revenue
+    // ten-thousandths overflows int64 around sf4000 (ANSI would
+    // throw; the DuckDB mirror sums in HUGEINT and would silently
+    // diverge) — decimal(38,0) keeps the sum exact at any SF
+    val total = rev.agg(sum($"r4".cast("decimal(38,0)")).as("t4"),
+      count(lit(1)).as("n"))
     rev.crossJoin(broadcast(total))
-      .filter($"r4".cast("decimal(38,0)") * $"n" * 4 >
-        $"t4".cast("decimal(38,0)") * 5)
+      .filter($"r4".cast("decimal(38,0)") * $"n" * 4 > $"t4" * 5)
       .select($"l_partkey",
         (round($"r4" / lit(100.0)) / lit(100.0)).as("revenue"))
       .orderBy($"revenue".desc_nulls_last, $"l_partkey".asc_nulls_first)

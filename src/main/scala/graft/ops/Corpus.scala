@@ -31,6 +31,21 @@ object Corpus {
   /** Same tokenizer as Text.toks — the oracle parity contract. */
   private def toks(c: Column): Column = split(trim(lower(c)), " +")
 
+  /** The reproducible-sampling hash: first 16 bits of sha-256 of the
+    * id as an integer in [0, 65536) — engine-, run-, and
+    * partitioning-independent. ONE definition shared by the sampler
+    * (L24), the split (L27), and the split audit (L64), so the audit
+    * can never desynchronize from the split it audits. */
+  private def u16(id: Column): Column =
+    conv(substring(sha2(id.cast("string"), 256), 1, 4), 16, 10).cast("long")
+
+  /** The 80/10/10 train/val/test assignment over [[u16]] — the L27
+    * contract, shared verbatim by the L64 leakage audit. */
+  private def splitOf(u: Column): Column =
+    when(u < 0.8 * 65536, "train")
+      .when(u < 0.9 * 65536, "val")
+      .otherwise("test")
+
   /** Exact integer-term quantization for the log-sum family: each
     * per-term double (single-expression arithmetic on identical
     * inputs, hence bit-identical under IEEE 754 on both engines) is
@@ -277,10 +292,7 @@ object Corpus {
       .withColumn("frac", least(lit(1.0), $"w" * 8.0 / $"n_s"))
     docs.select($"doc_id", $"source")
       .join(broadcast(dims), "source")
-      .withColumn("u16",
-        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
-          .cast("long"))
-      .filter($"u16" < $"frac" * 65536.0)
+      .filter(u16($"doc_id") < $"frac" * 65536.0)
       .select($"doc_id", $"source")
       .orderBy($"doc_id".asc_nulls_first)
   }
@@ -351,13 +363,7 @@ object Corpus {
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", $"lang",
-        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
-          .cast("long").as("u16"))
-      .select($"doc_id", $"lang",
-        when($"u16" < 0.8 * 65536, "train")
-          .when($"u16" < 0.9 * 65536, "val")
-          .otherwise("test").as("split"))
+      .select($"doc_id", $"lang", splitOf(u16($"doc_id")).as("split"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -387,13 +393,7 @@ object Corpus {
     val d = Tables.documents(spark, dir)
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 8)
-      .withColumn("u16",
-        conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4), 16, 10)
-          .cast("long"))
-      .withColumn("split",
-        when($"u16" < 0.8 * 65536, "train")
-          .when($"u16" < 0.9 * 65536, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(u16($"doc_id")))
     val g = d.select($"doc_id", $"split",
       explode(array_distinct(transform(
         sequence(lit(1), size($"t") - 7),
@@ -434,7 +434,12 @@ object Corpus {
     * candidates by a u16 threshold at ~4× the quota fraction before
     * ranking (probabilistic bound, verified by count) — documented
     * here, exact form kept as the oracle parity contract. Output is
-    * the selected docs: exactly B rows at every SF, all-integer. */
+    * the selected docs, all-integer: exactly B rows whenever every
+    * source can fill its quota, which Hamilton guarantees for
+    * B ≤ N/2 (quota ≤ ⌊B·n_s/N⌋+1 ≤ n_s then) — true by orders of
+    * magnitude at every driver SF (N ≥ 500, B = 100). A smaller
+    * corpus under-fills rather than erroring (rk ≤ quota caps at
+    * capacity); a production run would assert the output count. */
   def qBudgetSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val budget = 100L

@@ -83,7 +83,9 @@ TIE_SAFE = {
             "off-tie unless binary-exact odd/2^k, where both engines "
             "agree half-away); score is 0.6/0.4-weighted 4dp "
             "lattice — its 2e-5 grid never lands on a .00005 tie",
-        mech=r"0\.6|0\.4", rsites=3),
+        # the exact weighted-lattice formula the argument covers —
+        # changing either weight or the combination invalidates it
+        mech=r"0\.6 \* ttr \+ 0\.4 \* \(1\.0 - stop_ratio\)", rsites=3),
     # k/n-division lattice: a single-division output k/n has scaled
     # boundary distance |k·10^d·2 − n(2m+1)|/(2n) ≥ 1/(2n) unless the
     # tie is exact; with n ≤ ~10^6 group sizes that is ≥ 5e-7 scaled,
@@ -109,7 +111,8 @@ TIE_SAFE = {
         why="foldless: tf·ln(N/df) is per-row single-expression "
             "(measured nearest scaled distance 3e-4 at sf0.1; "
             "cross-engine slack is one ln ulp ≈ 1e-9 scaled)",
-        mech=r"ln\(", rsites=1),
+        # the exact per-row expression the measurement covers
+        mech=r"tf \* ln\(CAST\(n_docs AS DOUBLE\) / df\)", rsites=1),
 }
 
 
@@ -242,6 +245,9 @@ def audit_ledger(oracle):
 
 
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
     if sys.argv[1] == "--ledger-only":
         errs = audit_ledger(json.load(open(sys.argv[2])))
         for e in errs:
