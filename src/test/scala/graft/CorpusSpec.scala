@@ -101,6 +101,19 @@ class CorpusSpec extends SparkSuite with Matchers {
     got shouldBe Map("src0" -> 58L, "src1" -> 25L, "src2" -> 17L)
   }
 
+  test("budget sample: a corpus smaller than the budget under-fills, never errors") {
+    import spark.implicits._
+    // N=6 < B=100: every quota exceeds its source's capacity, the
+    // rk <= quota filter caps at capacity, and ALL docs come back —
+    // the documented small-corpus contract (exact-B needs B ≤ N/2)
+    val dir = tmpTables("budget_small") { d =>
+      Seq((1L, "s0"), (2L, "s0"), (3L, "s0"), (4L, "s1"), (5L, "s1"), (6L, "s1"))
+        .toDF("doc_id", "source").write.parquet(s"$d/documents.parquet")
+    }
+    Corpus.qBudgetSample(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq shouldBe (1L to 6L)
+  }
+
   test("memo caches: switching data dirs evicts the previous dir's entries") {
     import spark.implicits._
     val d1 = tmpTables("memo1") { d =>
