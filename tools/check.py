@@ -17,13 +17,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
-    """Canonicalize a cell for comparison."""
+    """Canonicalize a cell for comparison.
+
+    Floats are BIT-faithful, matching the driver's value hash: -0.0 is
+    distinct from +0.0 (Python's `==` says they're equal, which made
+    this gate blind to q_bigram_entropy's r6–r8 sign-of-zero red row),
+    and NaN equals NaN (any payload) via the "NaN" sentinel. For
+    float64, bit equality == numeric equality everywhere else, so the
+    ±0 split is the only behavioral change."""
     if v is None:
         return None
     # pandas/pyarrow NaN and NaT
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     # timestamps -> isoformat at µs precision
     if hasattr(v, "isoformat"):

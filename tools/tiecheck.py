@@ -16,6 +16,33 @@ perturbation flows through CTEs, the rounded-value-feeds-a-mean
 variant (the r6 MAE failure) is caught too, not just final-SELECT
 rounds.
 
+The sweep ALSO executes every oracle (round-bearing or not) and flags
+any result cell holding IEEE **-0.0** — the sign-of-zero emission
+class that kept q_bigram_entropy red r6–r8: DuckDB preserves the
+negated zero through `/` and `round(x, d)` while Spark's
+BigDecimal-based Round normalizes it, so the two are numerically
+equal (every row-diff passes) but hash-differ. A -0.0 here is always
+a defect to REWRITE (negate per-term inside an integer quantize so
+the sum is a sign-free integer — q_bigram_entropy's fix), never to
+whitelist: TIE_SAFE does not exempt it. Verified this class's
+mechanics in DuckDB 1.x: `-CAST(0 AS DOUBLE)`, `-0.0/n` and
+`round(-0.0, 6)` all keep the sign; `CAST(round(-0.0) AS BIGINT)`
+kills it.
+
+Sign/NaN emission classes audited (r9) beyond this automated sweep:
+  * negated float folds → only q_bigram_entropy had the shape; now
+    integer-term (sign dies at the per-term BIGINT cast);
+  * corr/regr_* on zero-variance groups (NULL vs NaN cross-engine):
+    q_regr/q_stats_agg group by high-cardinality keys over TPC-H
+    columns with real variance; no zero-variance group exists at any
+    shipped SF, and the NaN==NaN canon sentinel would pass a matching
+    NaN pair anyway — the residual risk is an engine emitting NULL
+    where the other emits NaN, which the row compare catches as an
+    ordinary mismatch;
+  * float divisions with possibly-exactly-zero numerators
+    (q_kl_divergence, q_moore_lewis LLR-zero docs): both integer-term
+    (e12) — a zero numerator is integer 0, not -0.0.
+
 Usage: python3 tools/tiecheck.py <sfDir> <oracleSqlJson> [query ...]
        python3 tools/tiecheck.py --ledger-only <oracleSqlJson>
   <oracleSqlJson> is Verify's outDir/oracle_sql.json (or any file in
@@ -184,11 +211,19 @@ def perturb(sql, eps, all_sites=False):
 
 
 def canon(v):
+    """Bit-faithful on floats, mirroring tools/check.py: -0.0 maps to
+    the "-0.0" sentinel (distinct from +0.0 — the driver's value hash
+    sees the sign even though Python `==` doesn't), NaN of any payload
+    to "NaN"."""
     import math
     if v is None:
         return None
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -211,6 +246,19 @@ def rows_of(df):
             for t in df[cols].itertuples(index=False, name=None)]
     # repr key: rows can mix float with None/"NaN" across rows
     return sorted(rows, key=repr)
+
+
+def negzero_rows(rows):
+    """Indices of canonicalized rows containing a -0.0 cell at any
+    nesting depth (lists/structs included — canon flattens them to
+    tuples)."""
+    def has(v):
+        if isinstance(v, str):
+            return v == "-0.0"
+        if isinstance(v, tuple):
+            return any(has(x) for x in v)
+        return False
+    return [i for i, r in enumerate(rows) if has(r)]
 
 
 def digit_round_sites(sql):
@@ -268,11 +316,27 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # every oracle runs once for the sign-of-zero emission scan,
+        # round-bearing or not — the class L60 proved (r6–r8) needs no
+        # round site to arise, only a negated float reaching a column
+        try:
+            base = rows_of(con.execute(sql).df())
+        except Exception as e:
+            print(f"FLAG {name}: oracle failed to run: {e}")
+            n_flag += 1
+            continue
+        nz = negzero_rows(base)
+        if nz:
+            print(f"FLAG {name}: oracle emits IEEE -0.0 in {len(nz)} "
+                  f"row(s) — Spark normalizes the sign, the driver's "
+                  f"hash does not; rewrite (per-term integer quantize) "
+                  f"rather than whitelist; first: {base[nz[0]]}")
+            n_flag += 1
+            continue
         if not re.search(r"\bround\s*\(", sql, re.IGNORECASE):
             n_skip += 1
             continue
         try:
-            base = rows_of(con.execute(sql).df())
             up = rows_of(con.execute(perturb(sql, EPS)).df())
             dn = rows_of(con.execute(perturb(sql, -EPS)).df())
         except Exception as e:
