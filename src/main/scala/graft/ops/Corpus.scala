@@ -803,15 +803,26 @@ object Corpus {
     * built positionally in-stage (L17's transform), shuffles carry
     * gram counts, never text.
     *
-    * Determinism: a parallel double sum is partition-order-dependent,
-    * and round-6 of an order-dependent fold hash-mismatched the
-    * oracle in r6 (one row's 6th decimal sat on a .5 tie). The fold
-    * is therefore a SORTED sequential reduce on both engines:
-    * collect the per-(c,n) terms into an array, sort by the unique
-    * (c,n) key, and left-fold — bit-identical order, so the only
-    * residual engine surface is ln's last ulp. The per-doc term list
-    * is bounded by the doc's distinct-bigram count (doc-grain, not
-    * corpus-grain), so the collect is scale-safe at 100 TB. */
+    * Determinism — the integer-term e12 mechanism (see [[e12]]), with
+    * the negation PER TERM: each term is −cnt·ln(cnt/ctot) ≥ 0,
+    * quantized once to integer pico-nats and summed exactly
+    * (order-free, map-side combinable), then unscaled by [[meanOfE12]].
+    * Negating inside the quantize is load-bearing, not style: this
+    * query sat red three rounds (r6–r8) because for a doc whose
+    * bigrams are all unique every term is 1·ln(1) = 0.0, the old
+    * float fold summed to +0.0, and the final round(−fold/n, 6)
+    * produced IEEE −0.0 in DuckDB but +0.0 through Spark's
+    * BigDecimal-normalizing Round — numerically equal, hash-distinct.
+    * Measured in DuckDB 1.x: −CAST(0 AS DOUBLE), −0.0/n and
+    * round(−0.0, 6) ALL preserve the sign, so negating any float
+    * aggregate at the end (even of an integer sum cast to double)
+    * re-creates the defect; CAST(round(−0.0·1e12) AS BIGINT) is what
+    * kills it — the sign dies at the per-term integer cast, the sum
+    * is a nonnegative integer, and a nonnegative-integer-to-double
+    * cast is +0.0 on both engines. tools/tiecheck.py's -0.0 emission
+    * sweep guards the shape. Replaces r7's sorted fold
+    * (collect_list + sort_array + sequential aggregate), which was
+    * tie-safe but sign-blind and paid a per-doc array build/sort. */
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bg = Tables.documents(spark, dir)
@@ -827,14 +838,11 @@ object Corpus {
     cn.join(cc, Seq("doc_id", "c"))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"),
-        sort_array(collect_list(struct($"c", $"n", $"cnt", $"ctot")))
-          .as("terms"))
+        sum(e12(-($"cnt".cast("double") *
+          log($"cnt".cast("double") / $"ctot".cast("double")))))
+          .as("s_e12"))
       .select($"doc_id", $"n_bigrams",
-        round(-aggregate($"terms", lit(0.0d), (acc, x) =>
-          acc + x.getField("cnt").cast("double") *
-            log(x.getField("cnt").cast("double") /
-              x.getField("ctot").cast("double"))) /
-          $"n_bigrams", 6).as("h_cond"))
+        meanOfE12($"s_e12", $"n_bigrams").as("h_cond"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -878,21 +886,15 @@ object Corpus {
         |cn AS (SELECT doc_id, p.c AS c, p.n AS n, count(*) AS cnt
         |  FROM b GROUP BY doc_id, p.c, p.n),
         |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot
-        |  FROM cn GROUP BY doc_id, c),
-        |g AS (SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |    list_sort(list(struct_pack(c := cn.c, n := cn.n,
-        |      cnt := CAST(cnt AS BIGINT),
-        |      ctot := CAST(ctot AS BIGINT)))) AS terms
-        |  FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
-        |  GROUP BY cn.doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  round(-list_reduce(
-        |    list_prepend(CAST(0.0 AS DOUBLE), list_transform(terms,
-        |      x -> CAST(x.cnt AS DOUBLE) *
-        |        ln(CAST(x.cnt AS DOUBLE) / CAST(x.ctot AS DOUBLE)))),
-        |    (a, b) -> a + b) / n_bigrams, 6) AS h_cond
-        |FROM g
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+        |  FROM cn GROUP BY doc_id, c)
+        |SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(ctot AS DOUBLE))) * 1e12)
+        |      AS BIGINT)) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) / 1e12,
+        |    6) AS h_cond
+        |FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
+        |GROUP BY cn.doc_id
+        |ORDER BY cn.doc_id ASC NULLS FIRST""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(lower(text)), ' +')))

@@ -83,8 +83,10 @@ EPS = 1e-9
 #    quantize, ~1e-10 per row of boundary mass.
 #  * sorted-fold: the rounded value is a value-sorted sequential
 #    fold, bit-identical on both engines (same term multiset, same
-#    order, IEEE-deterministic ops); same residual window. Retained
-#    for q_bigram_entropy (struct-keyed sort).
+#    order, IEEE-deterministic ops); same residual window. No current
+#    entry — q_bigram_entropy, the last holdout, moved to
+#    integer-term in r9 (the sorted fold was tie-safe but emitted
+#    IEEE -0.0 for all-unique-bigram docs via its final negation).
 #  * lattice: per-row single-expression rational arithmetic whose
 #    values live on a coarse lattice — any value is either exactly
 #    ON a .5 tie (both engines round half away from zero: verified
@@ -93,8 +95,10 @@ EPS = 1e-9
 INT_TERM = r"\* 1e12\)\s*AS BIGINT"
 TIE_SAFE = {
     "q_bigram_entropy": dict(
-        why="sorted-fold (struct-sorted per-doc terms)",
-        mech=r"list_sort\(", rsites=1),
+        why="integer-term (per-bigram -c·ln(c/ctot) in pico-nats, "
+            "negated INSIDE the quantize so an all-unique-bigram doc "
+            "sums integer 0 — never IEEE -0.0; the r6–r8 red row)",
+        mech=INT_TERM, rsites=1),
     "q_token_entropy": dict(
         why="integer-term (c·ln c in pico-nats); ttr is lattice "
             "(n_types/n_toks, n_toks ≤ doc length)",
