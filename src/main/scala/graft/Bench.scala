@@ -74,11 +74,12 @@ object Bench {
     // Also persist the full line next to the build: the harness that
     // captures stdout keeps only a bounded tail, which has truncated
     // the per-query map two rounds running — a file survives intact.
-    // Best-effort (read-only CWDs must not fail the bench).
+    // Best-effort (read-only CWDs must not fail the bench) — but only
+    // for NonFatal: OOM/interrupts must propagate, not be swallowed.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

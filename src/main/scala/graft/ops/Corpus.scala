@@ -64,12 +64,23 @@ object Corpus {
     * Mirrored in DuckDB as sum(CAST(round((term) * 1e12) AS BIGINT)).
     * Quantization error is ≤ 5e-13 per term — a 10⁶-token doc
     * accumulates ≤ 5e-7 absolute, invisible at round-6 of a per-token
-    * MEAN (error /n again). Overflow bound: |term| ≤ 20 nats ⇒ 2e13
-    * per term, so a per-group sum stays inside long (9.2e18) to
-    * ~4.6e5 terms; Σc·ln c ≤ n·ln n keeps entropy terms inside long
-    * to n ≈ 5e5 — chunked pre-training docs sit orders below both. */
+    * MEAN (error /n again). Aggregate via [[sumE12]], never a bare
+    * long sum: |term| ≤ 20 nats ⇒ 2e13 per term, so a long sum wraps
+    * silently past ~4.6e5 terms per group (Σc·ln c ≤ n·ln n wraps
+    * entropy terms past n ≈ 5e5) — inside the documents tables'
+    * range but not a 100 TB pathological doc's. */
   private def e12(term: Column): Column =
     round(term * lit(1.0e12)).cast("long")
+
+  /** Exact wide accumulation for [[e12]] terms: decimal(38,0), the
+    * q_part_share precedent — mirrors DuckDB's BIGINT-sum-to-HUGEINT,
+    * so a doc past the long bound above cannot silently wrap int64
+    * (non-ANSI long sums wrap without error; the decimal sum is exact
+    * to 1e38, i.e. ~1e25 terms). Both engines then cast the identical
+    * integer to double, and a NONNEGATIVE integer sum's cast is +0.0
+    * when zero — no sign-of-zero surface. */
+  private def sumE12(term: Column): Column =
+    sum(e12(term).cast("decimal(38,0)"))
 
   /** Unscale an e12 integer sum to a rounded per-term mean:
     * round(sum/n/1e12, 6), the exact division-order mirror of the
@@ -125,7 +136,7 @@ object Corpus {
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        sum(e12($"logp")).as("s_e12"))
+        sumE12($"logp").as("s_e12"))
       .select($"doc_id", $"n_toks",
         meanOfE12($"s_e12", $"n_toks").as("avg_logp"))
       .orderBy($"doc_id".asc_nulls_first)
@@ -560,7 +571,7 @@ object Corpus {
           ($"ti" + $"v")) -
         log(($"cg" + lit(1L)).cast("double") / ($"tg" + $"v")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum(e12($"llr")).as("s_e12"))
+      .agg(count(lit(1)).as("n_toks"), sumE12($"llr").as("s_e12"))
       .select($"doc_id", $"n_toks",
         meanOfE12($"s_e12", $"n_toks").as("ml_score"))
       .orderBy($"doc_id".asc_nulls_first)
@@ -581,7 +592,7 @@ object Corpus {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
-        sum(e12($"c".cast("double") * log($"c"))).as("s_e12"))
+        sumE12($"c".cast("double") * log($"c")).as("s_e12"))
       .select($"doc_id", $"n_toks", $"n_types",
         round(log($"n_toks") -
           $"s_e12".cast("double") / $"n_toks" / lit(1.0e12), 6)
@@ -722,7 +733,7 @@ object Corpus {
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_toks"),
-        sum(e12($"logp")).as("s_e12"))
+        sumE12($"logp").as("s_e12"))
       .select($"doc_id", $"source",
         round($"s_e12".cast("double") / $"n_toks" / lit(1000000.0d))
           .cast("long").as("score_e6"))
@@ -838,8 +849,8 @@ object Corpus {
     cn.join(cc, Seq("doc_id", "c"))
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"),
-        sum(e12(-($"cnt".cast("double") *
-          log($"cnt".cast("double") / $"ctot".cast("double")))))
+        sumE12(-($"cnt".cast("double") *
+          log($"cnt".cast("double") / $"ctot".cast("double"))))
           .as("s_e12"))
       .select($"doc_id", $"n_bigrams",
         meanOfE12($"s_e12", $"n_bigrams").as("h_cond"))

@@ -127,17 +127,27 @@ TIE_SAFE = {
     "q_bounce_rate": dict(
         why="k/n lattice (bounces/sessions per group; exact ties "
             "like 58/64 are binary-exact, engines agree)",
-        mech=None, rsites=1),
+        # the exact k/n division the lattice argument covers: integer
+        # bounce count over integer session count, one rounded ratio
+        mech=r"round\(sum\(CASE WHEN n_events = 1 THEN 1 ELSE 0 "
+             r"END\) / count\(\*\), 4\)", rsites=1),
     "q_doc_stats": dict(
         why="integer-avg lattice (sum(int)/n with exact double "
             "integer sums; n=2^a groups tie binary-exactly, engines "
             "agree)",
-        mech=None, rsites=2),
+        # both rounded cells must stay integer-avgs — avg over
+        # n_chars and over integer token counts (len of the split)
+        mech=r"(?s)round\(avg\(n_chars\), 4\).*round\(avg\(len\(",
+        rsites=2),
     "q_rank_dist": dict(
         why="k/n lattice (percent_rank/cume_dist over n ≤ ~10^4 per "
             "segment: scaled distance ≥ 1/(2n) ≈ 8e-5, no exact ties "
             "possible for odd n−1)",
-        mech=None, rsites=2),
+        # the two rank functions ARE the lattice — k/(n−1) and k/n
+        # over the per-segment window; any other expression under the
+        # round sites voids the argument
+        mech=r"(?s)round\(percent_rank\(\) OVER w, 6\).*"
+             r"round\(cume_dist\(\) OVER w, 6\)", rsites=2),
     "q_tfidf": dict(
         why="foldless: tf·ln(N/df) is per-row single-expression "
             "(measured nearest scaled distance 3e-4 at sf0.1; "
