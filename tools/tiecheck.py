@@ -275,6 +275,21 @@ def negzero_rows(rows):
     return [i for i, r in enumerate(rows) if has(r)]
 
 
+def unsigned(rows):
+    """Rows with the -0.0 sentinel folded back to +0.0, re-sorted —
+    for the base-vs-perturbed compare ONLY. An exact 0.0 crossing to
+    -0.0 under the artificial -1e-9 nudge is the perturbation passing
+    zero, not a value near a .5 tie; the emission scan (negzero_rows
+    on the UNperturbed base) is where a real signed zero flags."""
+    def un(v):
+        if isinstance(v, str) and v == "-0.0":
+            return 0.0
+        if isinstance(v, tuple):
+            return tuple(un(x) for x in v)
+        return v
+    return sorted((un(r) for r in rows), key=repr)
+
+
 def digit_round_sites(sql):
     """Count round(E, d) sites with an explicit digit arg — the
     perturbed hazard class; the profile recorded per TIE_SAFE entry."""
@@ -357,15 +372,16 @@ def main():
             print(f"FLAG {name}: variant failed to run: {e}")
             n_flag += 1
             continue
-        if base == up == dn:
+        if unsigned(base) == unsigned(up) == unsigned(dn):
             print(f"OK   {name}")
             n_ok += 1
         elif name in TIE_SAFE:
             print(f"OK   {name} (flag, tie-safe: {TIE_SAFE[name]['why']})")
             n_ok += 1
         else:
-            diffs = [(a, b) for a, b in zip(base, up) if a != b] + \
-                    [(a, b) for a, b in zip(base, dn) if a != b]
+            bu, uu, du = unsigned(base), unsigned(up), unsigned(dn)
+            diffs = [(a, b) for a, b in zip(bu, uu) if a != b] + \
+                    [(a, b) for a, b in zip(bu, du) if a != b]
             print(f"FLAG {name}: output moves under ±{EPS} perturbation "
                   f"at round sites ({len(diffs)} row diffs); first:")
             for a, b in diffs[:2]:
