@@ -341,10 +341,12 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
-        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("icept"),
-        round(corr($"l_extendedprice", $"l_quantity"), 6).as("r"),
-        round(covar_samp($"l_extendedprice", $"l_quantity"), 4).as("cov"))
+        // + 0.0 on each: signed statistics — a near-zero slope/corr
+        // rounds to IEEE -0.0 in DuckDB, +0.0 through Spark's Round
+        (round(regr_slope($"l_extendedprice", $"l_quantity"), 4) + lit(0.0)).as("slope"),
+        (round(regr_intercept($"l_extendedprice", $"l_quantity"), 4) + lit(0.0)).as("icept"),
+        (round(corr($"l_extendedprice", $"l_quantity"), 6) + lit(0.0)).as("r"),
+        (round(covar_samp($"l_extendedprice", $"l_quantity"), 4) + lit(0.0)).as("cov"))
       .orderBy($"l_returnflag".asc_nulls_first)
   }
 
@@ -1351,10 +1353,11 @@ object Analytics {
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
     "q_regr" ->
       """SELECT l_returnflag,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-        |  round(corr(l_extendedprice, l_quantity), 6) AS r,
-        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+        |    AS icept,
+        |  round(corr(l_extendedprice, l_quantity), 6) + 0.0 AS r,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) + 0.0 AS cov
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,

@@ -84,9 +84,15 @@ object Corpus {
 
   /** Unscale an e12 integer sum to a rounded per-term mean:
     * round(sum/n/1e12, 6), the exact division-order mirror of the
-    * DuckDB `round(CAST(s AS DOUBLE) / n / 1e12, 6)`. */
+    * DuckDB `round(CAST(s AS DOUBLE) / n / 1e12, 6) + 0.0`. The
+    * trailing `+ 0.0` (both engines) normalizes sign-of-zero for
+    * SIGNED term families (q_moore_lewis's LLR, q_unigram_lm's
+    * log-probs): a tiny-negative integer sum — |mean| < 5e-7 —
+    * rounds to IEEE −0.0 in DuckDB while Spark's BigDecimal Round
+    * normalizes, the L60 failure class on a different path. Exact
+    * identity for every other value. */
   private def meanOfE12(sumE12: Column, n: Column): Column =
-    round(sumE12.cast("double") / n / lit(1.0e12), 6)
+    round(sumE12.cast("double") / n / lit(1.0e12), 6) + lit(0.0)
 
   /** L4+ — TF-IDF: tf(doc, term) × ln(N / df(term)), terms with
     * tf ≥ 2. ln of the same double ratio on both engines, rounded at
@@ -594,9 +600,12 @@ object Corpus {
       .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
         sumE12($"c".cast("double") * log($"c")).as("s_e12"))
       .select($"doc_id", $"n_toks", $"n_types",
-        round(log($"n_toks") -
+        // + 0.0: a single-type doc's entropy is ln(n) − quantized
+        // mean, which can land a hair BELOW zero when the e12
+        // quantize rounds the term up — DuckDB would keep −0.0
+        (round(log($"n_toks") -
           $"s_e12".cast("double") / $"n_toks" / lit(1.0e12), 6)
-          .as("entropy"),
+          + lit(0.0)).as("entropy"),
         round($"n_types".cast("double") / $"n_toks", 6).as("ttr"))
       .orderBy($"doc_id".asc_nulls_first)
   }
@@ -688,8 +697,12 @@ object Corpus {
       .crossJoin(broadcast(tot))
       .groupBy($"source")
       .agg(min($"ns").as("n_tokens"),
-        round(sum(($"cs" / $"ns") *
-          log(($"cs" / $"ns") / ($"cc" / $"n"))), 6).as("kl_nats"))
+        // + 0.0: KL ≥ 0 mathematically but the float sum can dip a
+        // hair below zero for a near-corpus-identical source; DuckDB
+        // would keep the −0.0 after round
+        (round(sum(($"cs" / $"ns") *
+          log(($"cs" / $"ns") / ($"cc" / $"n"))), 6) + lit(0.0))
+          .as("kl_nats"))
       .orderBy($"source".asc_nulls_first)
   }
 
@@ -979,7 +992,8 @@ object Corpus {
         |c AS (SELECT tok, count(*) AS cc FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM c)
         |SELECT st.source, min(ns) AS n_tokens,
-        |  round(sum((cs / ns) * ln((cs / ns) / (cc / n))), 6) AS kl_nats
+        |  round(sum((cs / ns) * ln((cs / ns) / (cc / n))), 6) + 0.0
+        |    AS kl_nats
         |FROM st
         |JOIN c ON st.tok = c.tok
         |JOIN stot ON st.source = stot.source
@@ -1004,7 +1018,8 @@ object Corpus {
         |  round(CAST(sum(CAST(round((
         |        ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
         |        - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))) * 1e12)
-        |      AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) AS ml_score
+        |      AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) + 0.0
+        |    AS ml_score
         |FROM t JOIN gen USING (tok) LEFT JOIN ind USING (tok) CROSS JOIN s
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -1020,7 +1035,7 @@ object Corpus {
         |  FROM c GROUP BY doc_id)
         |SELECT doc_id, n_toks, n_types,
         |  round(ln(n_toks) - CAST(s_e12 AS DOUBLE) / n_toks / 1e12, 6)
-        |    AS entropy,
+        |    + 0.0 AS entropy,
         |  round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr
         |FROM a
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
@@ -1052,7 +1067,7 @@ object Corpus {
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
         |SELECT doc_id, count(*) AS n_toks,
         |  round(CAST(sum(CAST(round(ln(cnt / total) * 1e12) AS BIGINT))
-        |      AS DOUBLE) / count(*) / 1e12, 6) AS avg_logp
+        |      AS DOUBLE) / count(*) / 1e12, 6) + 0.0 AS avg_logp
         |FROM t JOIN v USING (tok) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,

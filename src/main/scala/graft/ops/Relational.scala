@@ -215,7 +215,9 @@ object Relational {
     Tables.customer(spark, dir)
       .groupBy($"c_mktsegment")
       .agg(
-        round(avg($"c_acctbal"), 6).as("avg_bal"),
+        // + 0.0: a one-cent negative balance sum over a large group
+        // divides below round-6 resolution -> -0.0 in DuckDB
+        (round(avg($"c_acctbal"), 6) + lit(0.0)).as("avg_bal"),
         min($"c_acctbal").as("min_bal"),
         max($"c_acctbal").as("max_bal"),
         round(stddev_samp($"c_acctbal"), 6).as("sd_bal"),
@@ -369,7 +371,7 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
     "q_stats_agg" ->
       """SELECT c_mktsegment,
-        |  round(avg(c_acctbal), 6) AS avg_bal,
+        |  round(avg(c_acctbal), 6) + 0.0 AS avg_bal,
         |  min(c_acctbal) AS min_bal,
         |  max(c_acctbal) AS max_bal,
         |  round(stddev_samp(c_acctbal), 6) AS sd_bal,

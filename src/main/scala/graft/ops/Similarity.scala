@@ -51,7 +51,7 @@ object Similarity {
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
     c.join(broadcast(q), cond)
       .withColumn("dot", expr("graft_dot(qv, cv)"))
-      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4))
+      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .select($"q_id", $"c_id", $"rnk", $"sim")
@@ -122,7 +122,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("pdist", round(
         expr("graft_dot(qv, qv)") - lit(2.0) * expr("graft_dot(qv, cvec)")
-          + expr("graft_dot(cvec, cvec)"), 4))
+          + expr("graft_dot(cvec, cvec)"), 4) + lit(0.0))
       .withColumn("prk", row_number().over(wp))
       .filter($"prk" <= 2)
       .select($"q_id", $"qv", $"qn", $"p_label")
@@ -130,7 +130,8 @@ object Similarity {
       $"vec".as("cv"), $"nrm".as("cn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
     c.join(broadcast(probes), $"label" === $"p_label" && $"c_id" =!= $"q_id")
-      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .select($"q_id", $"c_id", $"rnk", $"sim")
@@ -171,7 +172,8 @@ object Similarity {
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
     sigs.select($"vec_id".as("c_id"), $"bucket", $"vec".as("cv"), $"nrm".as("cn"))
       .join(broadcast(q), $"bucket" === $"q_bucket" && $"c_id" =!= $"q_id")
-      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .select($"q_id", $"c_id", $"rnk", $"sim")
@@ -193,7 +195,19 @@ object Similarity {
     * tie-break; members then equi-join the k-row keeper table on the
     * cell label (broadcast — bounded by the index parameter k, the
     * same class as q_ann_multiprobe's centroid table). Distances and
-    * sims round at 4dp before any comparison, mirroring the oracle. */
+    * sims round at 4dp before any comparison, mirroring the oracle.
+    *
+    * Sign-of-zero: a genuinely tiny-negative real (a duplicate of the
+    * keeper gives dist ≈ −1e-17; an orthogonal member gives sim ≈
+    * −1e-17) rounds to IEEE −0.0 in DuckDB while Spark's
+    * BigDecimal-based Round normalizes — numerically equal,
+    * hash-distinct (the L60 failure class, second mechanism; caught by
+    * tools/tiecheck.py's −0.0 emission sweep at sf0.001). `+ 0.0`
+    * after the round normalizes on both engines (−0.0 + 0.0 = +0.0;
+    * exact identity for every other value). On dist it is also
+    * load-bearing for the keeper choice: DuckDB's radix sort orders
+    * −0.0 before +0.0, so an unnormalized zero could flip the
+    * (dist, vec_id) tie-break across engines. */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = withVec(Tables.embeddings(spark, dir))
@@ -209,7 +223,7 @@ object Similarity {
       .join(broadcast(cents), $"label" === $"p_label")
       .withColumn("dist", round(
         expr("graft_dot(vec, vec)") - lit(2.0) * expr("graft_dot(vec, cvec)")
-          + expr("graft_dot(cvec, cvec)"), 4))
+          + expr("graft_dot(cvec, cvec)"), 4) + lit(0.0))
       .select($"vec_id", $"label", $"vec", $"nrm", $"dist")
     val keepers = withDist
       .groupBy($"label".as("k_label"))
@@ -219,7 +233,8 @@ object Similarity {
         $"k.vec".as("kv"), $"k.nrm".as("kn"))
     withDist
       .join(broadcast(keepers), $"label" === $"k_label" && $"vec_id" =!= $"keep_id")
-      .withColumn("sim", round(expr("graft_dot(vec, kv)") / ($"nrm" * $"kn"), 4))
+      .withColumn("sim",
+        round(expr("graft_dot(vec, kv)") / ($"nrm" * $"kn"), 4) + lit(0.0))
       .select($"label", $"keep_id", $"vec_id", $"sim",
         ($"sim" >= 0.2).cast("int").as("dropped"))
       .orderBy($"label".asc_nulls_first, $"vec_id".asc_nulls_first)
@@ -237,7 +252,9 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select($"label", posexplode($"embedding").as(Seq("pos0", "x")))
       .groupBy($"label", ($"pos0" + 1).as("pos"))
-      .agg(round(avg($"x".cast("double")), 4).as("centroid"),
+      // + 0.0 normalizes a −0.0 from rounding a tiny-negative mean
+      // (qSemanticDedup's sign-of-zero note; DuckDB keeps the sign)
+      .agg((round(avg($"x".cast("double")), 4) + lit(0.0)).as("centroid"),
         count(lit(1)).as("n_vecs"))
       .orderBy($"label".asc_nulls_first, $"pos".asc_nulls_first)
   }
@@ -361,7 +378,7 @@ object Similarity {
       $"vec".as("cv"), $"nrm".as("cn"))
     val scored = c.join(broadcast(q), $"c_id" =!= $"q_id")
       .withColumn("dot", expr("graft_dot(qv, cv)"))
-      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4))
+      .withColumn("sim", round($"dot" / ($"qn" * $"cn"), 4) + lit(0.0))
       .withColumn("same", $"label" === $"q_label")
     val wAll = Window.partitionBy($"q_id")
       .orderBy($"sim".desc, $"c_id".asc)
@@ -402,13 +419,13 @@ object Similarity {
       $"vec".as("vb"), $"nrm".as("nb"))
     a.join(b, "pid")
       .withColumn("sim",
-        round(expr("graft_dot(va, vb)") / ($"na" * $"nb"), 4))
+        round(expr("graft_dot(va, vb)") / ($"na" * $"nb"), 4) + lit(0.0))
       .withColumn("bin",
         least(floor(($"sim" + 1.0) * 10), lit(19)).cast("long"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n"),
-        round(min($"sim"), 4).as("lo"),
-        round(max($"sim"), 4).as("hi"))
+        (round(min($"sim"), 4) + lit(0.0)).as("lo"),
+        (round(max($"sim"), 4) + lit(0.0)).as("hi"))
       .orderBy($"bin".asc_nulls_first)
   }
 
@@ -442,7 +459,7 @@ object Similarity {
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("dist", round(
         expr("graft_dot(vec, vec)") - lit(2.0) * expr("graft_dot(vec, cvec)")
-          + expr("graft_dot(cvec, cvec)"), 4))
+          + expr("graft_dot(cvec, cvec)"), 4) + lit(0.0))
       .groupBy($"vec_id", $"label")
       .agg(min_by($"cl", struct($"dist", $"cl")).as("cell"))
     assigned
@@ -477,7 +494,8 @@ object Similarity {
       $"vec".as("cv"), $"nrm".as("cn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
     c.join(broadcast(q), $"c_id" =!= $"q_id")
-      .withColumn("sim", round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4))
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
       .groupBy($"q_id", $"true_label", $"c_label")
@@ -522,7 +540,7 @@ object Similarity {
        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id $bucketPred
        |  GROUP BY q.vec_id, c.vec_id),
        |s AS (SELECT q_id, c_id,
-       |    round(dot / (nq.nrm * nc.nrm), 4) AS sim
+       |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
        |  FROM d
        |  JOIN norms nq ON q_id = nq.vec_id
        |  JOIN norms nc ON c_id = nc.vec_id),
@@ -546,7 +564,8 @@ object Similarity {
         |  FROM pe q JOIN pe c ON q.i = c.i
         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
         |  GROUP BY q.vec_id, c.vec_id),
-        |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+        |s AS (SELECT q_id, c_id,
+        |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
         |  FROM d JOIN norms nq ON q_id = nq.vec_id
         |  JOIN norms nc ON c_id = nc.vec_id),
         |r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
@@ -575,13 +594,14 @@ object Similarity {
         |d AS (SELECT a.vec_id AS pid, sum(a.x * b.x) AS dot
         |  FROM pe a JOIN pe b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
         |  GROUP BY a.vec_id),
-        |s AS (SELECT round(dot / (na.nrm * nb.nrm), 4) AS sim
+        |s AS (SELECT round(dot / (na.nrm * nb.nrm), 4) + 0.0 AS sim
         |  FROM d
         |  JOIN norms na ON pid = na.vec_id
         |  JOIN norms nb ON nb.vec_id = pid + 1
         |  WHERE na.nrm > 0 AND nb.nrm > 0)
         |SELECT CAST(least(floor((sim + 1.0) * 10), 19) AS BIGINT) AS bin,
-        |  count(*) AS n, round(min(sim), 4) AS lo, round(max(sim), 4) AS hi
+        |  count(*) AS n, round(min(sim), 4) + 0.0 AS lo,
+        |  round(max(sim), 4) + 0.0 AS hi
         |FROM s GROUP BY 1
         |ORDER BY bin ASC NULLS FIRST""".stripMargin,
     "q_assign_purity" ->
@@ -597,7 +617,7 @@ object Similarity {
         |vc AS (SELECT p.vec_id, c.cl, sum(p.x * c.c) AS vc
         |  FROM pe p JOIN cent c ON p.i = c.i GROUP BY p.vec_id, c.cl),
         |d AS (SELECT vc.vec_id, vc.cl,
-        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) AS dist
+        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) + 0.0 AS dist
         |  FROM vc JOIN vv ON vc.vec_id = vv.vec_id JOIN cc ON vc.cl = cc.cl),
         |asg AS (SELECT vec_id, cl AS cell FROM (
         |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
@@ -629,7 +649,7 @@ object Similarity {
         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
         |  GROUP BY q.vec_id, c.vec_id),
         |s AS (SELECT q_id, c_id,
-        |    round(dot / (nq.nrm * nc.nrm), 4) AS sim,
+        |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim,
         |    lq.label = lc.label AS same
         |  FROM d
         |  JOIN norms nq ON q_id = nq.vec_id
@@ -710,7 +730,8 @@ object Similarity {
          |  JOIN bk bc ON bc.vec_id = c.vec_id AND bc.bucket = bq.bucket
          |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
          |  GROUP BY q.vec_id, c.vec_id),
-         |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+         |s AS (SELECT q_id, c_id,
+        |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
          |  FROM d JOIN norms nq ON q_id = nq.vec_id
          |  JOIN norms nc ON c_id = nc.vec_id),
          |r AS (SELECT q_id, c_id, sim, row_number() OVER
@@ -733,7 +754,7 @@ object Similarity {
         |qc AS (SELECT q.q_id, c.p_label, sum(q.x * c.c) AS qc
         |  FROM qv q JOIN cent c ON q.i = c.i GROUP BY q.q_id, c.p_label),
         |pd AS (SELECT qc.q_id, qc.p_label,
-        |    round(qq.vv - 2 * qc.qc + ccs.cc, 4) AS pdist
+        |    round(qq.vv - 2 * qc.qc + ccs.cc, 4) + 0.0 AS pdist
         |  FROM qc JOIN qq USING (q_id) JOIN ccs USING (p_label)),
         |pr AS (SELECT q_id, p_label, row_number() OVER
         |    (PARTITION BY q_id ORDER BY pdist ASC, p_label ASC) AS prk
@@ -745,7 +766,8 @@ object Similarity {
         |  JOIN pe q ON q.vec_id = p.q_id AND q.i = c.i
         |  WHERE c.vec_id <> p.q_id
         |  GROUP BY p.q_id, c.vec_id),
-        |s AS (SELECT q_id, c_id, round(dot / (nq.nrm * nc.nrm), 4) AS sim
+        |s AS (SELECT q_id, c_id,
+        |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
         |  FROM d JOIN norms nq ON q_id = nq.vec_id
         |  JOIN norms nc ON c_id = nc.vec_id),
         |r AS (SELECT q_id, c_id, sim, row_number() OVER
@@ -768,7 +790,7 @@ object Similarity {
         |cc AS (SELECT label, sum(c * c) AS cc FROM cent GROUP BY label),
         |mem AS (SELECT DISTINCT vec_id, label FROM embeddings),
         |d AS (SELECT mem.vec_id, mem.label,
-        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) AS dist
+        |    round(vv.vv - 2 * vc.vc + cc.cc, 4) + 0.0 AS dist
         |  FROM mem JOIN vv USING (vec_id) JOIN vc USING (vec_id)
         |  JOIN cc ON mem.label = cc.label),
         |rk AS (SELECT label, vec_id, row_number() OVER
@@ -782,7 +804,7 @@ object Similarity {
         |  WHERE m.vec_id <> keep.keep_id
         |  GROUP BY m.vec_id, m.label, keep.keep_id),
         |s AS (SELECT dt.label, dt.keep_id, dt.vec_id,
-        |    round(dt.dot / (nm.nrm * nk.nrm), 4) AS sim
+        |    round(dt.dot / (nm.nrm * nk.nrm), 4) + 0.0 AS sim
         |  FROM dt JOIN norms nm ON dt.vec_id = nm.vec_id
         |  JOIN norms nk ON dt.keep_id = nk.vec_id)
         |SELECT label, keep_id, vec_id, sim,
@@ -808,7 +830,8 @@ object Similarity {
         |    generate_subscripts(embedding, 1) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings)
-        |SELECT label, pos, round(avg(x), 4) AS centroid, count(*) AS n_vecs
+        |SELECT label, pos, round(avg(x), 4) + 0.0 AS centroid,
+        |  count(*) AS n_vecs
         |FROM pe
         |GROUP BY label, pos
         |ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,

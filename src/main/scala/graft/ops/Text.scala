@@ -1132,8 +1132,10 @@ object Text {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg($"score"), 4).as("avg_score"),
-        round(corr($"score", log($"n_chars".cast("double"))), 4)
-          .as("corr_len"))
+        // + 0.0: corr near zero is on-distribution here; DuckDB keeps
+        // the rounded -0.0, Spark's Round normalizes
+        (round(corr($"score", log($"n_chars".cast("double"))), 4)
+          + lit(0.0)).as("corr_len"))
       .orderBy($"source".asc_nulls_first)
   }
 
@@ -1337,7 +1339,7 @@ object Text {
         |  FROM m)
         |SELECT source, count(*) AS n_docs,
         |  round(avg(score), 4) AS avg_score,
-        |  round(corr(score, ln(n_chars)), 4) AS corr_len
+        |  round(corr(score, ln(n_chars)), 4) + 0.0 AS corr_len
         |FROM s GROUP BY source
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_band_stats" ->

@@ -258,7 +258,9 @@ object Windows {
     monthly
       .withColumn("prev", lag($"total", 1).over(w))
       .select($"prio", $"month", round($"total", 2).as("total"),
-        round($"total" / $"prev" - 1, 4).as("mom_growth"))
+        // + 0.0: a one-cent month-over-month dip divides below the
+        // 4dp resolution and rounds to -0.0 in DuckDB
+        (round($"total" / $"prev" - 1, 4) + lit(0.0)).as("mom_growth"))
       .orderBy($"prio".asc_nulls_first, $"month".asc_nulls_first)
   }
 
@@ -481,7 +483,8 @@ object Windows {
         |  FROM orders GROUP BY prio, month)
         |SELECT prio, month, round(total, 2) AS total,
         |  round(total / lag(total, 1) OVER
-        |    (PARTITION BY prio ORDER BY month ASC) - 1, 4) AS mom_growth
+        |    (PARTITION BY prio ORDER BY month ASC) - 1, 4) + 0.0
+        |    AS mom_growth
         |FROM m
         |ORDER BY prio ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->

@@ -39,9 +39,30 @@ Sign/NaN emission classes audited (r9) beyond this automated sweep:
     NaN pair anyway — the residual risk is an engine emitting NULL
     where the other emits NaN, which the row compare catches as an
     ordinary mismatch;
-  * float divisions with possibly-exactly-zero numerators
-    (q_kl_divergence, q_moore_lewis LLR-zero docs): both integer-term
-    (e12) — a zero numerator is integer 0, not -0.0.
+  * round(E, d) of a genuinely tiny-negative REAL (|E| below the
+    half-grid): DuckDB keeps the sign (-0.0), Spark's Round
+    normalizes. This sweep caught q_centroids and q_semantic_dedup
+    at sf0.001 (a near-zero centroid mean / an orthogonal member's
+    cosine). Standing fix — the `+ 0.0` post-round normalization on
+    BOTH engine formulations (exact identity except on -0.0,
+    judge-verified to normalize DuckDB) — applied r9 to every
+    signed-at-round emission: cosine sims and probe/keeper dists
+    (q_cosine_topk, q_ann_ivf/_lsh/_multiprobe, q_ann_recall, q_knn,
+    q_band_stats lo/hi, q_semantic_dedup, q_assign_purity,
+    q_centroids), signed e12 means (meanOfE12: q_unigram_lm,
+    q_moore_lewis), near-zero-capable scalars (q_token_entropy
+    entropy, q_kl_divergence, q_regr slope/icept/r/cov,
+    q_len_quality corr_len, q_mom_growth, q_stats_agg avg_bal).
+    Where the rounded value also feeds an ORDER BY / argmin
+    (ANN sims, keeper dists), the normalization sits at the
+    DEFINITION so ranking and emission agree: DuckDB's radix sort
+    orders -0.0 before +0.0, which could otherwise flip a
+    tie-break that Spark resolves by the integer key;
+  * float divisions with a possibly-exactly-zero numerator:
+    q_moore_lewis is integer-term (a zero LLR sum is integer 0,
+    cast +0.0 both engines); q_kl_divergence is a plain float sum
+    (KL ≥ 0 mathematically, can dip tiny-negative in float) —
+    normalized per the previous class.
 
 Usage: python3 tools/tiecheck.py <sfDir> <oracleSqlJson> [query ...]
        python3 tools/tiecheck.py --ledger-only <oracleSqlJson>
