@@ -821,32 +821,29 @@ object Corpus {
     * predictable each next token is given the current one — the
     * templated-text detector that unigram entropy (L39) misses: a
     * doc cycling a fixed phrase has healthy unigram entropy but
-    * near-zero conditional entropy. H = −Σ p(c,n)·ln p(n|c), folded
-    * as −(Σ cnt·ln(cnt/ctot))/total so one (doc,c,n)-grain agg, one
-    * (doc,c)-grain agg, and one doc-grain agg cover it — bigrams are
-    * built positionally in-stage (L17's transform), shuffles carry
-    * gram counts, never text.
+    * near-zero conditional entropy. The log-ratio fold decomposes:
+    * −Σ cnt·ln(cnt/ctot) = Σ ctot·ln ctot − Σ cnt·ln cnt (since
+    * Σ_n cnt = ctot per (doc, c)), so the whole query is a pure
+    * THREE-LEVEL aggregation cascade — (doc,c,n) grain → (doc,c)
+    * grain → doc grain — with NO join: each level is a partial-
+    * aggregatable shuffle of strictly declining cardinality, and the
+    * (doc,c)-keyed self-join of the bigram table that the ratio form
+    * required (its dominant cost) disappears. Bigrams are built
+    * positionally in-stage (L17's transform); shuffles carry gram
+    * counts, never text.
     *
-    * Determinism — the integer-term e12 mechanism (see [[e12]]), with
-    * the negation PER TERM: each term is −cnt·ln(cnt/ctot) ≥ 0,
-    * quantized once to integer pico-nats and summed exactly
-    * (order-free, map-side combinable), then unscaled by [[meanOfE12]].
-    * Negating inside the quantize is load-bearing, not style: this
-    * query sat red three rounds (r6–r8) because for a doc whose
-    * bigrams are all unique every term is 1·ln(1) = 0.0, the old
-    * float fold summed to +0.0, and the final round(−fold/n, 6)
-    * produced IEEE −0.0 in DuckDB but +0.0 through Spark's
-    * BigDecimal-normalizing Round — numerically equal, hash-distinct.
-    * Measured in DuckDB 1.x: −CAST(0 AS DOUBLE), −0.0/n and
-    * round(−0.0, 6) ALL preserve the sign, so negating any float
-    * aggregate at the end (even of an integer sum cast to double)
-    * re-creates the defect; CAST(round(−0.0·1e12) AS BIGINT) is what
-    * kills it — the sign dies at the per-term integer cast, the sum
-    * is a nonnegative integer, and a nonnegative-integer-to-double
-    * cast is +0.0 on both engines. tools/tiecheck.py's -0.0 emission
-    * sweep guards the shape. Replaces r7's sorted fold
-    * (collect_list + sort_array + sequential aggregate), which was
-    * tie-safe but sign-blind and paid a per-doc array build/sort. */
+    * Determinism — the integer-term e12 mechanism (see [[e12]]):
+    * both term families (cnt·ln cnt at (doc,c,n) grain, ctot·ln ctot
+    * at (doc,c) grain) are NONNEGATIVE, each quantized once to
+    * integer pico-nats and summed exactly via [[sumE12]] (order-free,
+    * map-side combinable). H = (B − A)/N unscales the exact integer
+    * difference; an all-unique-bigram doc (the r6–r8 red-row class:
+    * every cnt = ctot = 1) has A = B = 0 and emits integer-zero →
+    * +0.0 on both engines. B − A ≥ 0 mathematically but the two
+    * quantization grids can dip the difference one pico below zero,
+    * so the final round carries the standing `+ 0.0` normalization
+    * (DuckDB would keep the rounded −0.0, Spark's BigDecimal Round
+    * normalizes — tools/tiecheck.py's emission sweep guards it). */
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bg = Tables.documents(spark, dir)
@@ -858,15 +855,18 @@ object Corpus {
           element_at($"t", i + 1).as("n")))).as("p"))
       .select($"doc_id", $"p.c", $"p.n")
     val cn = bg.groupBy($"doc_id", $"c", $"n").agg(count(lit(1)).as("cnt"))
-    val cc = cn.groupBy($"doc_id", $"c").agg(sum($"cnt").as("ctot"))
-    cn.join(cc, Seq("doc_id", "c"))
-      .groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_bigrams"),
-        sumE12(-($"cnt".cast("double") *
-          log($"cnt".cast("double") / $"ctot".cast("double"))))
-          .as("s_e12"))
+    val cc = cn.groupBy($"doc_id", $"c")
+      .agg(sum($"cnt").as("ctot"),
+        sumE12($"cnt".cast("double") * log($"cnt".cast("double")))
+          .as("a_e12"))
+    cc.groupBy($"doc_id")
+      .agg(sum($"ctot").as("n_bigrams"),
+        sumE12($"ctot".cast("double") * log($"ctot".cast("double")))
+          .as("b_e12"),
+        sum($"a_e12").as("a_sum"))
       .select($"doc_id", $"n_bigrams",
-        meanOfE12($"s_e12", $"n_bigrams").as("h_cond"))
+        (round(($"b_e12" - $"a_sum").cast("double") / $"n_bigrams"
+          / lit(1.0e12), 6) + lit(0.0)).as("h_cond"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -909,16 +909,18 @@ object Corpus {
         |  FROM l WHERE len(t) >= 2),
         |cn AS (SELECT doc_id, p.c AS c, p.n AS n, count(*) AS cnt
         |  FROM b GROUP BY doc_id, p.c, p.n),
-        |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot
+        |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot,
+        |    sum(CAST(round(CAST(cnt AS DOUBLE) *
+        |      ln(CAST(cnt AS DOUBLE)) * 1e12) AS BIGINT)) AS a_e12
         |  FROM cn GROUP BY doc_id, c)
-        |SELECT cn.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-        |  round(CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) *
-        |      ln(CAST(cnt AS DOUBLE) / CAST(ctot AS DOUBLE))) * 1e12)
-        |      AS BIGINT)) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) / 1e12,
-        |    6) AS h_cond
-        |FROM cn JOIN cc ON cn.doc_id = cc.doc_id AND cn.c = cc.c
-        |GROUP BY cn.doc_id
-        |ORDER BY cn.doc_id ASC NULLS FIRST""".stripMargin,
+        |SELECT doc_id, CAST(sum(ctot) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(CAST(ctot AS DOUBLE) *
+        |      ln(CAST(ctot AS DOUBLE)) * 1e12) AS BIGINT)) - sum(a_e12)
+        |      AS DOUBLE) / CAST(sum(ctot) AS BIGINT) / 1e12, 6) + 0.0
+        |    AS h_cond
+        |FROM cc
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(lower(text)), ' +')))

@@ -116,9 +116,11 @@ EPS = 1e-9
 INT_TERM = r"\* 1e12\)\s*AS BIGINT"
 TIE_SAFE = {
     "q_bigram_entropy": dict(
-        why="integer-term (per-bigram -c·ln(c/ctot) in pico-nats, "
-            "negated INSIDE the quantize so an all-unique-bigram doc "
-            "sums integer 0 — never IEEE -0.0; the r6–r8 red row)",
+        why="integer-term (H decomposed as (Σ ctot·ln ctot − "
+            "Σ cnt·ln cnt)/N: two NONNEGATIVE pico-nat families, "
+            "exact integer difference; an all-unique-bigram doc — the "
+            "r6–r8 red row — sums integer 0 on both sides, and the "
+            "final round carries the +0.0 sign normalization)",
         mech=INT_TERM, rsites=1),
     "q_token_entropy": dict(
         why="integer-term (c·ln c in pico-nats); ttr is lattice "
