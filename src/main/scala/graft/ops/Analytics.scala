@@ -205,48 +205,18 @@ object Analytics {
         $"pb".asc_nulls_first)
   }
 
-  /** Size-adaptive per-basket pair build (the skew-aggregation
-    * analog of AQE's skew-JOIN split, which cannot help here — the
-    * quadratic blowup happens inside one join key's pair generation,
-    * not across keys). Baskets with ≤ `cap` items take the plain
-    * co-partitioned self-join. Bigger baskets take the salted path:
-    * the left side is replicated across all `salts` sub-keys, the
-    * right side is salted deterministically by item hash, and the
-    * join key becomes (basket, salt) — each pair still emitted
-    * exactly once (at the right item's salt), but one mega-basket's
-    * M² pair generation now spreads over `salts` tasks at M²/salts
-    * each, for a `salts`× replication cost paid ONLY by oversize
-    * baskets. Exact semantics at any skew — no basket truncation.
-    * Deterministic salt (hash, not rand) so task retries replay
-    * identically. SkewSpec proves both the spread bound and parity
-    * with the unsalted formulation on a crafted mega-basket. */
+  /** Size-adaptive per-basket pair build: [[Skew.saltedSelfPairs]]
+    * (the factored mechanism — plain co-partitioned self-join for
+    * baskets ≤ `cap`, deterministic-salt spread for mega-baskets so
+    * one basket's M² pair generation never serializes a task) plus
+    * the support count. SkewSpec proves both the spread bound and
+    * parity with the unsalted formulation on a crafted mega-basket. */
   private[graft] def basketPairs(items: DataFrame, cap: Int = 64,
-                                 salts: Int = 16): DataFrame = {
-    val sizes = items.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bsz"))
-    // one co-partitioned shuffle join tags every row with its basket
-    // size; materialized once so the four branch scans below do not
-    // recompute the size aggregate
-    val tagged = items.join(sizes, "l_orderkey").localCheckpoint(eager = false)
-    val small = tagged.filter(col("__bsz") <= cap)
-    val big = tagged.filter(col("__bsz") > cap)
-    val smallPairs = small.alias("a")
-      .join(small.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    val bigA = big.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    val bigB = big.withColumn("__salt", Skew.saltOf(col("l_partkey"), salts))
-    val bigPairs = bigA.alias("a")
-      .join(bigB.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.__salt") === col("b.__salt") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-    smallPairs.union(bigPairs)
+                                 salts: Int = 16): DataFrame =
+    Skew.saltedSelfPairs(items, "l_orderkey", "l_partkey", cap, salts)
+      .select(col("a_l_partkey").as("pa"), col("b_l_partkey").as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
-  }
 
   /** W3+A2 — RFM segmentation: per-customer recency / frequency /
     * monetary quartiles WITHIN the customer's market segment (the

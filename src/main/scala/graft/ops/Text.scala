@@ -413,15 +413,17 @@ object Text {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Clears the signature memo AND the token-set memo it feeds from
-    * — Bench/Profile call this per timing pass. */
-  def clearSigCache(): Unit = { sigCache.clear(); tokCache.clear() }
+  /** Clears the signature memos (4-salt and 20-hash) AND the
+    * token-set memo they feed from — Bench/Profile call this per
+    * timing pass. */
+  def clearSigCache(): Unit =
+    { sigCache.clear(); tokCache.clear(); mh20Cache.clear() }
 
-  /** The dirs currently memoized for `spark` across the three
+  /** The dirs currently memoized for `spark` across the four
     * (session, dir) caches — test hook for the one-dir-per-session
     * eviction bound (not part of the library surface). */
   private[graft] def memoizedDirs(spark: SparkSession): Set[String] =
-    (sigCache.keys ++ labelCache.keys ++ tokCache.keys)
+    (sigCache.keys ++ labelCache.keys ++ tokCache.keys ++ mh20Cache.keys)
       .collect { case (s, d) if s eq spark => d }.toSet
 
   /** Eviction for the (session, dir) memo caches: entries hold
@@ -456,6 +458,7 @@ object Text {
             sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             labelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             tokCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            mh20Cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             evictionHooked.filterInPlace { case (sc, _) => !sc.isStopped }
           }
         })
@@ -473,6 +476,39 @@ object Text {
       .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
       .withColumn("band",
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
+      .localCheckpoint(eager = false)
+  }
+
+  /** The 20-hash estimator signature table — (doc_id, band, m0..m15)
+    * — memoized per (session, dir) like [[minhashSigs]]: the two
+    * estimator evals (q_minhash_est, q_est_error) consume the SAME
+    * deterministic projection (one graft_minhash20 pass over the
+    * documents scan, band = digest of the 4 salted full-digest mins,
+    * m0..m15 the affine estimator family), so it materializes once
+    * per session/input. localCheckpoint also serves as the shared
+    * materialization for the band self-join's two branches (the
+    * broadcast side cannot reuse the streamed side's exchange) AND
+    * lets [[Skew.saltedSelfPairs]]' internal group-size aggregate
+    * read blocks instead of recomputing the projection. Deterministic
+    * (pure sha2 + affine arithmetic), so reuse never changes a
+    * result; Bench/Profile clear via [[clearSigCache]]. */
+  private val mh20Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def mh20Sigs(spark: SparkSession, dir: String): DataFrame =
+    memoized(mh20Cache, spark, dir)(computeMh20Sigs(spark, dir))
+
+  private def computeMh20Sigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
+      .select(
+        Seq($"doc_id",
+          substring(sha2(concat_ws(":",
+            (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
+            256), 1, 16).as("band")) ++
+          (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
       .localCheckpoint(eager = false)
   }
 
@@ -649,22 +685,16 @@ object Text {
     // expression graft_minhash20 (functions/MinHash20.scala) — walks
     // the token array per DOCUMENT with zero explode and zero agg,
     // bit-identical to the SQL formulation (differential-tested in
-    // SketchSpec); the signature build becomes a pure projection.
-    val sig = Tables.documents(spark, dir)
-      .select($"doc_id",
-        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
-      .select(
-        Seq($"doc_id",
-          substring(sha2(concat_ws(":",
-            (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
-            256), 1, 16).as("band")) ++
-          (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
-      // lazy checkpoint: the self-join's two branches share one
-      // materialization of the signature table (the broadcast side
-      // cannot reuse the streamed side's exchange), halving the
-      // 5-digest agg pass; ContextCleaner reclaims the RDD when the
-      // plan is released
-      .localCheckpoint(eager = false)
+    // SketchSpec); the signature build becomes a pure projection,
+    // memoized family-wide ([[mh20Sigs]], shared with q_est_error —
+    // the memo's localCheckpoint is also the shared materialization
+    // for the self-join's two branches). The pair enumeration stays
+    // the PLAIN band self-join: at bench SF the dense band's M²
+    // fan-out is ~0.3 s of executor time while the salted two-path
+    // plan costs 2-3 s of driver planning/codegen (measured r9, see
+    // [[Skew.saltedSelfPairs]]) — the salted mechanism is the knob
+    // to reach for when a band outgrows one task's memory.
+    val sig = mh20Sigs(spark, dir)
     val matches = (0 until 16)
       .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
       .reduce(_ + _)
@@ -1155,16 +1185,13 @@ object Text {
     * trap q_quantize_int8's integer facts avoid. */
   def qEstError(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = Tables.documents(spark, dir)
-      .select($"doc_id",
-        expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
-      .select($"doc_id", $"mh",
-        substring(sha2(concat_ws(":",
-          (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
-          256), 1, 16).as("band"))
+    // signatures from the memoized family-wide mh20 table (one
+    // graft_minhash20 pass per session/input, shared with
+    // q_minhash_est); plain band self-join per the measured doctrine
+    // in qMinhashEst
+    val sig = mh20Sigs(spark, dir)
     val est = (0 until 16)
-      .map(i => (element_at(col("a.mh"), i + 5) ===
-        element_at(col("b.mh"), i + 5)).cast("int"))
+      .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
       .reduce(_ + _)
     val samp = sig.alias("a")
       .join(sig.alias("b"),

@@ -61,6 +61,34 @@ class SkewSpec extends SparkSuite with Matchers {
     bucketSizes.foreach(_ should be <= (2L * m / salts))
   }
 
+  /** The factored mechanism under basketPairs: generic ordered
+    * self-pairs must carry the group key once plus a_/b_-prefixed
+    * payload columns, and match the plain formulation exactly —
+    * including rows in groups that straddle the small/big cap. */
+  test("saltedSelfPairs: key + prefixed payloads, exact at any cap") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => ("g1", i.toLong, s"p$i")) ++
+      Seq(("g2", 1L, "x"), ("g2", 2L, "y"), ("g3", 9L, "z"))
+    val df = rows.toDF("grp", "id", "payload")
+    val plain = df.alias("a")
+      .join(df.alias("b"),
+        col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .select(col("a.grp"), col("a.id"), col("b.id"),
+        col("a.payload"), col("b.payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    for (cap <- Seq(2, 39, 64)) { // g1 (40 rows) big, straddling, small
+      val got = Skew.saltedSelfPairs(df, "grp", "id", cap = cap, salts = 4)
+      got.columns.sorted shouldBe
+        Array("a_id", "a_payload", "b_id", "b_payload", "grp")
+      val set = got.select(col("grp"), col("a_id"), col("b_id"),
+          col("a_payload"), col("b_payload"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+      set shouldBe plain
+    }
+  }
+
   /** The runtime half of the §4.3 doctrine: AQE detects a shuffle
     * partition dominated by one hot key AFTER the map stage runs and
     * splits it across tasks (skew=true on the join node) — no salting
