@@ -417,13 +417,14 @@ object Text {
     * token-set memo they feed from — Bench/Profile call this per
     * timing pass. */
   def clearSigCache(): Unit =
-    { sigCache.clear(); tokCache.clear(); mh20Cache.clear() }
+    { sigCache.clear(); tokCache.clear(); mh20Cache.clear(); pairCache.clear() }
 
   /** The dirs currently memoized for `spark` across the four
     * (session, dir) caches — test hook for the one-dir-per-session
     * eviction bound (not part of the library surface). */
   private[graft] def memoizedDirs(spark: SparkSession): Set[String] =
-    (sigCache.keys ++ labelCache.keys ++ tokCache.keys ++ mh20Cache.keys)
+    (sigCache.keys ++ labelCache.keys ++ tokCache.keys ++ mh20Cache.keys ++
+      pairCache.keys)
       .collect { case (s, d) if s eq spark => d }.toSet
 
   /** Eviction for the (session, dir) memo caches: entries hold
@@ -459,6 +460,7 @@ object Text {
             labelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             tokCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             mh20Cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
             evictionHooked.filterInPlace { case (sc, _) => !sc.isStopped }
           }
         })
@@ -816,8 +818,19 @@ object Text {
 
   /** The (da, db, hamming) near-dup pair set qSimhashNeardup orders
     * and qDedupClusters clusters — banded candidate generation +
-    * exact hamming re-rank, unordered. */
-  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    * exact hamming re-rank, unordered. Memoized per (session, dir)
+    * like [[minhashSigs]]: the ordered dump and the CC fixpoint's
+    * edge build consume the SAME deterministic pair set, so the
+    * banded self-join + re-rank runs once per session/input;
+    * Bench/Profile clear via [[clearSigCache]]. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(pairCache, spark, dir)(
+      computeSimhashPairs(spark, dir).localCheckpoint(eager = false))
+
+  private def computeSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val banded = simhashSigs63(spark, dir)
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
@@ -885,9 +898,6 @@ object Text {
   private[graft] def connectedComponents(spark: SparkSession,
                                          pairsIn: DataFrame): DataFrame = {
     import spark.implicits._
-    // cache the PAIRS, not the union: the two union branches are
-    // separate plan subtrees, so an uncached union would run the
-    // banded self-join twice during materialization
     val tInit = System.nanoTime()
     // The per-round plans are tiny (label-pair tables, ≤ graph-node
     // cardinality after init): AQE re-planning dominates each round's
@@ -916,11 +926,17 @@ object Text {
     // edges would be a bucketed table on disk, same plan. (AQE is off
     // for the loop: its per-materialization re-planning costs more on
     // the driver than these fixed-shape tiny-side shuffles ever save.)
-    // pairs cached too: the union's two branches are separate plan
-    // subtrees — uncached, the banded self-join would run twice
-    val pairs = pairsIn.select($"da", $"db").cache()
-    val edges = pairs.union(pairs.select($"db", $"da"))
-      .toDF("src", "dst")
+    // symmetric edges in ONE pass over the pair set: explode each
+    // pair into both directions instead of unioning two scans of the
+    // subtree — the union's branches are separate plan subtrees, so
+    // the old form either ran the banded self-join twice or paid an
+    // extra cache-materialization job to avoid it (r9: dropping that
+    // job cut the fixpoint's init by ~1 s at sf0.1)
+    val edges = pairsIn
+      .select(explode(array(
+        struct($"da".as("src"), $"db".as("dst")),
+        struct($"db".as("src"), $"da".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
       .repartition(col("src"))
       .sortWithinPartitions(col("src"))
       .cache()
@@ -970,7 +986,6 @@ object Text {
       rounds += 1
     }
     edges.unpersist()
-    pairs.unpersist()
     if (sys.props.contains("graft.cc.debug"))
       println(f"[cc] clusterLabels total ${(System.nanoTime() - tInit) / 1e9}%.2fs")
     labels.select($"v".as("doc_id"), $"lbl".as("cluster_id"))
