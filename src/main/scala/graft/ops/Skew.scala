@@ -86,7 +86,10 @@ object Skew {
     *
     * Output: the `key` column once, plus every other column of `df`
     * twice, prefixed `a_` / `b_` (caller columns must not already
-    * carry those prefixes). */
+    * carry those prefixes). Project `df` down to key + id + the
+    * payloads you need BEFORE calling: the internal checkpoint is a
+    * column-pruning barrier that materializes full row width, and
+    * the salted path replicates the full left payload `salts`×. */
   def saltedSelfPairs(df: DataFrame, key: String, id: String,
                       cap: Int = 64, salts: Int = 16): DataFrame = {
     val payload = df.columns.filterNot(_ == key)

@@ -489,9 +489,10 @@ object Text {
     * m0..m15 the affine estimator family), so it materializes once
     * per session/input. localCheckpoint also serves as the shared
     * materialization for the band self-join's two branches (the
-    * broadcast side cannot reuse the streamed side's exchange) AND
-    * lets [[Skew.saltedSelfPairs]]' internal group-size aggregate
-    * read blocks instead of recomputing the projection. Deterministic
+    * broadcast side cannot reuse the streamed side's exchange).
+    * (Should a band ever outgrow one task and the family adopt
+    * [[Skew.saltedSelfPairs]], the checkpoint would also feed its
+    * group-size aggregate from blocks.) Deterministic
     * (pure sha2 + affine arithmetic), so reuse never changes a
     * result; Bench/Profile clear via [[clearSigCache]]. */
   private val mh20Cache =
@@ -822,13 +823,20 @@ object Text {
     * like [[minhashSigs]]: the ordered dump and the CC fixpoint's
     * edge build consume the SAME deterministic pair set, so the
     * banded self-join + re-rank runs once per session/input;
-    * Bench/Profile clear via [[clearSigCache]]. */
+    * Bench/Profile clear via [[clearSigCache]]. EAGER checkpoint,
+    * unlike the signature memos: the first consumer may be the CC
+    * fixpoint, which tunes shuffle.partitions down to the iteration
+    * state and disables AQE for its loop — a lazy checkpoint would
+    * materialize this CORPUS-scale join under those loop settings
+    * (8-wide, no skew split) whenever a cluster query runs first,
+    * making performance depend on query order. Eager pins the
+    * materialization to session confs at memo-insert time. */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(pairCache, spark, dir)(
-      computeSimhashPairs(spark, dir).localCheckpoint(eager = false))
+      computeSimhashPairs(spark, dir).localCheckpoint(eager = true))
 
   private def computeSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
