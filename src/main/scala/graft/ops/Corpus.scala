@@ -49,38 +49,40 @@ object Corpus {
   /** Exact integer-term quantization for the log-sum family: each
     * per-term double (single-expression arithmetic on identical
     * inputs, hence bit-identical under IEEE 754 on both engines) is
-    * quantized ONCE to integer pico-nats — round(term·1e12) as
-    * BIGINT; round-to-int of the same double agrees across engines
-    * (half away from zero on both — the mechanism r7 proved for
-    * q_ppl_bucket's score_e6) — and aggregated with a plain long
-    * `sum`: exact, commutative, order-free, map-side combinable.
-    * This is the standing fix for the round-half hash-tie class
-    * (three real failures r5–r6): a parallel DOUBLE sum is
-    * partition-order-dependent and its ±1e-13 noise straddles
+    * quantized ONCE to integer pico-nats — round(term·1e12) cast to
+    * decimal(38,0); round-to-int of the same double agrees across
+    * engines (half away from zero on both — the mechanism r7 proved
+    * for q_ppl_bucket's score_e6), and the integral double converts
+    * exactly to the wide integer on both — then aggregated with a
+    * plain integer `sum`: exact, commutative, order-free, map-side
+    * combinable. This is the standing fix for the round-half
+    * hash-tie class (three real failures r5–r6): a parallel DOUBLE
+    * sum is partition-order-dependent and its ±1e-13 noise straddles
     * decimal-rounding boundaries; an integer sum cannot. It replaces
     * r7's sorted-fold (collect_list + sort_array + sequential
     * aggregate), which was tie-safe but paid a per-doc array
     * build/sort (+51% on q_ppl_bucket, +25% on q_unigram_lm).
-    * Mirrored in DuckDB as sum(CAST(round((term) * 1e12) AS BIGINT)).
+    * Mirrored in DuckDB as sum(CAST(round((term) * 1e12) AS
+    * HUGEINT)). decimal(38,0)/HUGEINT per TERM — not BIGINT — so an
+    * oversized term saturates neither engine: a long-first cast
+    * silently clamps at 2^63 in non-ANSI Spark (c·ln c·1e12 passes
+    * it at c ≈ 6.9e5 repeats of one context) while DuckDB's BIGINT
+    * cast errors — divergence either way. The wide bound is ~1e38,
+    * i.e. c·ln c ≤ 1e26 per term: unreachable by construction.
     * Quantization error is ≤ 5e-13 per term — a 10⁶-token doc
     * accumulates ≤ 5e-7 absolute, invisible at round-6 of a per-token
-    * MEAN (error /n again). Aggregate via [[sumE12]], never a bare
-    * long sum: |term| ≤ 20 nats ⇒ 2e13 per term, so a long sum wraps
-    * silently past ~4.6e5 terms per group (Σc·ln c ≤ n·ln n wraps
-    * entropy terms past n ≈ 5e5) — inside the documents tables'
-    * range but not a 100 TB pathological doc's. */
+    * MEAN (error /n again). */
   private def e12(term: Column): Column =
-    round(term * lit(1.0e12)).cast("long")
+    round(term * lit(1.0e12)).cast("decimal(38,0)")
 
-  /** Exact wide accumulation for [[e12]] terms: decimal(38,0), the
-    * q_part_share precedent — mirrors DuckDB's BIGINT-sum-to-HUGEINT,
-    * so a doc past the long bound above cannot silently wrap int64
-    * (non-ANSI long sums wrap without error; the decimal sum is exact
-    * to 1e38, i.e. ~1e25 terms). Both engines then cast the identical
+  /** Exact wide accumulation for [[e12]] terms: decimal(38,0)-sum,
+    * the q_part_share precedent — mirrors DuckDB's HUGEINT sum, so
+    * neither the terms nor the sum ever transit int64 (exact to
+    * 1e38, ~1e25 terms). Both engines then cast the identical
     * integer to double, and a NONNEGATIVE integer sum's cast is +0.0
     * when zero — no sign-of-zero surface. */
   private def sumE12(term: Column): Column =
-    sum(e12(term).cast("decimal(38,0)"))
+    sum(e12(term))
 
   /** Unscale an e12 integer sum to a rounded per-term mean:
     * round(sum/n/1e12, 6), the exact division-order mirror of the
@@ -911,11 +913,11 @@ object Corpus {
         |  FROM b GROUP BY doc_id, p.c, p.n),
         |cc AS (SELECT doc_id, c, CAST(sum(cnt) AS BIGINT) AS ctot,
         |    sum(CAST(round(CAST(cnt AS DOUBLE) *
-        |      ln(CAST(cnt AS DOUBLE)) * 1e12) AS BIGINT)) AS a_e12
+        |      ln(CAST(cnt AS DOUBLE)) * 1e12) AS HUGEINT)) AS a_e12
         |  FROM cn GROUP BY doc_id, c)
         |SELECT doc_id, CAST(sum(ctot) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(CAST(round(CAST(ctot AS DOUBLE) *
-        |      ln(CAST(ctot AS DOUBLE)) * 1e12) AS BIGINT)) - sum(a_e12)
+        |      ln(CAST(ctot AS DOUBLE)) * 1e12) AS HUGEINT)) - sum(a_e12)
         |      AS DOUBLE) / CAST(sum(ctot) AS BIGINT) / 1e12, 6) + 0.0
         |    AS h_cond
         |FROM cc
@@ -941,7 +943,7 @@ object Corpus {
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
         |s AS (SELECT doc_id, source,
         |    CAST(round(CAST(sum(CAST(round(ln(cnt / total) * 1e12)
-        |        AS BIGINT)) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
+        |        AS HUGEINT)) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
         |      AS score_e6
         |  FROM t JOIN v USING (tok) CROSS JOIN tot
         |  GROUP BY doc_id, source),
@@ -1020,7 +1022,7 @@ object Corpus {
         |  round(CAST(sum(CAST(round((
         |        ln(CAST(coalesce(ci, 0) + 1 AS DOUBLE) / (ti + v))
         |        - ln(CAST(cg + 1 AS DOUBLE) / (tg + v))) * 1e12)
-        |      AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) + 0.0
+        |      AS HUGEINT)) AS DOUBLE) / count(*) / 1e12, 6) + 0.0
         |    AS ml_score
         |FROM t JOIN gen USING (tok) LEFT JOIN ind USING (tok) CROSS JOIN s
         |GROUP BY doc_id
@@ -1032,7 +1034,7 @@ object Corpus {
         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
         |    CAST(count(*) AS BIGINT) AS n_types,
-        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(c) * 1e12) AS BIGINT))
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(c) * 1e12) AS HUGEINT))
         |      AS s_e12
         |  FROM c GROUP BY doc_id)
         |SELECT doc_id, n_toks, n_types,
@@ -1068,7 +1070,7 @@ object Corpus {
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(CAST(sum(CAST(round(ln(cnt / total) * 1e12) AS BIGINT))
+        |  round(CAST(sum(CAST(round(ln(cnt / total) * 1e12) AS HUGEINT))
         |      AS DOUBLE) / count(*) / 1e12, 6) + 0.0 AS avg_logp
         |FROM t JOIN v USING (tok) CROSS JOIN tot
         |GROUP BY doc_id

@@ -419,7 +419,7 @@ object Text {
   def clearSigCache(): Unit =
     { sigCache.clear(); tokCache.clear(); mh20Cache.clear(); pairCache.clear() }
 
-  /** The dirs currently memoized for `spark` across the four
+  /** The dirs currently memoized for `spark` across the five
     * (session, dir) caches — test hook for the one-dir-per-session
     * eviction bound (not part of the library surface). */
   private[graft] def memoizedDirs(spark: SparkSession): Set[String] =

@@ -31,7 +31,7 @@ kills it.
 
 Sign/NaN emission classes audited (r9) beyond this automated sweep:
   * negated float folds → only q_bigram_entropy had the shape; now
-    integer-term (sign dies at the per-term BIGINT cast);
+    integer-term (sign dies at the per-term HUGEINT cast);
   * corr/regr_* on zero-variance groups (NULL vs NaN cross-engine):
     q_regr/q_stats_agg group by high-cardinality keys over TPC-H
     columns with real variance; no zero-variance group exists at any
@@ -97,9 +97,10 @@ EPS = 1e-9
 #
 # Admitted argument classes:
 #  * integer-term: each per-term double is quantized ONCE to an
-#    integer grid (round(term·1e12) AS BIGINT — round-to-int of the
+#    integer grid (round(term·1e12) AS HUGEINT — round-to-int of the
 #    same double agrees across engines, proven r7 on score_e6) and
-#    summed in exact long arithmetic: order-free by construction;
+#    summed in exact wide-integer arithmetic (decimal(38,0) on the
+#    Spark side): order-free by construction;
 #    the residual risk window is one ln ulp (~1e-16) at the per-term
 #    quantize, ~1e-10 per row of boundary mass.
 #  * sorted-fold: the rounded value is a value-sorted sequential
@@ -113,7 +114,7 @@ EPS = 1e-9
 #    ON a .5 tie (both engines round half away from zero: verified
 #    DuckDB round(312.5)=313, Spark BigDecimal HALF_UP) or at least
 #    ~1/(2·10^d·n_max) away, orders of magnitude beyond double noise.
-INT_TERM = r"\* 1e12\)\s*AS BIGINT"
+INT_TERM = r"\* 1e12\)\s*AS HUGEINT"
 TIE_SAFE = {
     "q_bigram_entropy": dict(
         why="integer-term (H decomposed as (Σ ctot·ln ctot − "
@@ -247,19 +248,43 @@ def perturb(sql, eps, all_sites=False):
     return sql
 
 
+class _FloatSentinel:
+    """Canon marker for float cells Python `==` mishandles. A class
+    instance, NOT a string: a genuine VARCHAR cell holding the text
+    "-0.0" or "NaN" must neither false-flag the emission sweep nor be
+    silently rewritten to a float by unsigned()."""
+    __slots__ = ("tag",)
+
+    def __init__(self, tag):
+        self.tag = tag
+
+    def __repr__(self):
+        return f"float<{self.tag}>"
+
+    def __eq__(self, other):
+        return isinstance(other, _FloatSentinel) and other.tag == self.tag
+
+    def __hash__(self):
+        return hash(("_FloatSentinel", self.tag))
+
+
+NAN = _FloatSentinel("NaN")
+NEGZERO = _FloatSentinel("-0.0")
+
+
 def canon(v):
     """Bit-faithful on floats, mirroring tools/check.py: -0.0 maps to
-    the "-0.0" sentinel (distinct from +0.0 — the driver's value hash
+    the NEGZERO sentinel (distinct from +0.0 — the driver's value hash
     sees the sign even though Python `==` doesn't), NaN of any payload
-    to "NaN"."""
+    to NAN."""
     import math
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return NAN
         if v == 0.0 and math.copysign(1.0, v) < 0:
-            return "-0.0"
+            return NEGZERO
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -290,8 +315,8 @@ def negzero_rows(rows):
     nesting depth (lists/structs included — canon flattens them to
     tuples)."""
     def has(v):
-        if isinstance(v, str):
-            return v == "-0.0"
+        if v is NEGZERO:
+            return True
         if isinstance(v, tuple):
             return any(has(x) for x in v)
         return False
@@ -305,7 +330,7 @@ def unsigned(rows):
     zero, not a value near a .5 tie; the emission scan (negzero_rows
     on the UNperturbed base) is where a real signed zero flags."""
     def un(v):
-        if isinstance(v, str) and v == "-0.0":
+        if v is NEGZERO:
             return 0.0
         if isinstance(v, tuple):
             return tuple(un(x) for x in v)
