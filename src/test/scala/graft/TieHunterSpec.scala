@@ -58,6 +58,36 @@ class TieHunterSpec extends AnyFunSuite {
     assert(code == 0, s"stale TIE_SAFE ledger entries:\n$out")
   }
 
+  test("-0.0 emission detector: flags a real signed-zero double, " +
+      "ignores a VARCHAR '-0.0' cell") {
+    assume(Files.isRegularFile(tool), s"$tool missing")
+    assume(haveDuckdb, "python3+duckdb not available on this host")
+    val sfDir = "/root/testdata/sf0.001"
+    assume(Files.isDirectory(Paths.get(sfDir)), s"$sfDir missing")
+    // Probe registry: a genuinely-negative double zero (the L60
+    // emission class — the decimal-literal form -(0.0)/3 would
+    // normalize before ever becoming a double, hence the ::DOUBLE),
+    // and a text cell spelling "-0.0" that must NOT collide with the
+    // float sentinel after canon.
+    val probes =
+      """{"q_probe_negzero":
+        |   "SELECT round(-((0.0*r_regionkey)::DOUBLE)/3, 6) AS x FROM region",
+        | "q_probe_varchar": "SELECT '-0.0' AS x FROM region"}""".stripMargin
+    val oraclePath = Files.createTempFile("probe_sql", ".json")
+    Files.writeString(oraclePath, probes)
+    // Ledger-stale lines are expected (TIE_SAFE names are absent from
+    // the probe registry), so assert on the per-query lines, not the
+    // exit code.
+    val (_, out) =
+      run(sfDir, oraclePath.toString, "q_probe_negzero", "q_probe_varchar")
+    Files.deleteIfExists(oraclePath)
+    assert(out.contains("FLAG q_probe_negzero") &&
+      out.contains("emits IEEE -0.0"),
+      s"detector missed a real -0.0 emission:\n$out")
+    assert(!out.contains("FLAG q_probe_varchar"),
+      s"detector false-flagged a VARCHAR '-0.0' cell:\n$out")
+  }
+
   test("no unexplained rounding-tie hazards across the registry (sf0.001)") {
     assume(Files.isRegularFile(tool), s"$tool missing")
     assume(haveDuckdb, "python3+duckdb not available on this host")
