@@ -70,6 +70,11 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Total FIRST, on its own line: the driver keeps only a bounded
+    // stdout tail and has truncated the per-query map two rounds
+    // running — leading with the headline number means BOTH artifact
+    // paths (stdout tail + the file below) always carry it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(line)
     // Also persist the full line next to the build: the harness that
     // captures stdout keeps only a bounded tail, which has truncated

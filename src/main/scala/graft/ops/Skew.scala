@@ -93,6 +93,12 @@ object Skew {
   def saltedSelfPairs(df: DataFrame, key: String, id: String,
                       cap: Int = 64, salts: Int = 16): DataFrame = {
     val payload = df.columns.filterNot(_ == key)
+    // fail fast instead of silently emitting duplicate/ambiguous
+    // output columns when a caller's payload already carries the
+    // reserved pair prefixes (ADVICE r9)
+    require(payload.forall(c => !c.startsWith("a_") && !c.startsWith("b_")),
+      s"saltedSelfPairs: payload columns must not start with a_/b_ " +
+        s"(reserved pair prefixes); got ${payload.mkString(", ")}")
     def side(p: String, d: DataFrame): DataFrame =
       payload.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, p + c))
     val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("__gsz"))

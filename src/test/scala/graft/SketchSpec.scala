@@ -10,6 +10,29 @@ import org.scalatest.matchers.should.Matchers
   */
 class SketchSpec extends SparkSuite with Matchers {
 
+  test("encoding gate flags replacement chars, control chars, and mojibake runs (L66)") {
+    import spark.implicits._
+    // the shipped corpus is clean ASCII, so the oracle rows all pass;
+    // the detection arithmetic is pinned here on crafted damage
+    val docs = Seq(
+      (1L, "clean ascii text with nothing wrong at all"),
+      (2L, "bad transcode �� here"), // U+FFFD tombstones
+      (3L, "ctl\u0001\u0002\u0003x"), // 3 C0 chars in 7 → ratio rule
+      (4L, "prose with " + ("é" * 25) + " run"), // mojibake run
+      (5L, "tabs\tand\nnewlines are fine"), // excluded control chars
+      (6L, "café naïve résumé ok")) // short runs pass
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.encodingGate(docs)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Int, Int)].collect()
+    out(0) shouldBe ((1L, 0L, 0L, 0L, 0, 1))
+    out(1) shouldBe ((2L, 2L, 0L, 2L, 1, 0)) // U+FFFD is also non-ASCII
+    out(2) shouldBe ((3L, 0L, 3L, 0L, 2, 0))
+    out(3) shouldBe ((4L, 0L, 0L, 25L, 4, 0))
+    out(4) shouldBe ((5L, 0L, 0L, 0L, 0, 1))
+    out(5) shouldBe ((6L, 0L, 0L, 1L, 0, 1))
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact (A5)") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

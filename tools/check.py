@@ -16,23 +16,49 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class _FloatSentinel:
+    """Canon marker for float cells Python `==` mishandles. A class
+    instance, NOT a string (same object sentinel as tools/tiecheck.py —
+    kept in sync): a genuine VARCHAR cell holding the text "-0.0" or
+    "NaN" must not collide with a float cell after canon."""
+    __slots__ = ("tag",)
+
+    def __init__(self, tag):
+        self.tag = tag
+
+    def __repr__(self):
+        return f"float<{self.tag}>"
+
+    def __eq__(self, other):
+        return isinstance(other, _FloatSentinel) and other.tag == self.tag
+
+    def __hash__(self):
+        return hash(("_FloatSentinel", self.tag))
+
+
+NAN = _FloatSentinel("NaN")
+NEGZERO = _FloatSentinel("-0.0")
+
+
 def canon(v):
     """Canonicalize a cell for comparison.
 
     Floats are BIT-faithful, matching the driver's value hash: -0.0 is
     distinct from +0.0 (Python's `==` says they're equal, which made
     this gate blind to q_bigram_entropy's r6–r8 sign-of-zero red row),
-    and NaN equals NaN (any payload) via the "NaN" sentinel. For
-    float64, bit equality == numeric equality everywhere else, so the
-    ±0 split is the only behavioral change."""
+    and NaN equals NaN (any payload) via the NAN sentinel. Sentinels
+    are _FloatSentinel objects, not strings, so a VARCHAR cell
+    spelling "NaN"/"-0.0" stays distinct (mirrors tools/tiecheck.py).
+    For float64, bit equality == numeric equality everywhere else, so
+    the ±0 split is the only behavioral change."""
     if v is None:
         return None
     # pandas/pyarrow NaN and NaT
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return NAN
         if v == 0.0 and math.copysign(1.0, v) < 0:
-            return "-0.0"
+            return NEGZERO
         return v
     # timestamps -> isoformat at µs precision
     if hasattr(v, "isoformat"):

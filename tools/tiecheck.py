@@ -306,7 +306,9 @@ def rows_of(df):
     cols = sorted(df.columns)
     rows = [tuple(canon(x) for x in t)
             for t in df[cols].itertuples(index=False, name=None)]
-    # repr key: rows can mix float with None/"NaN" across rows
+    # repr key: rows can mix float cells with None and the NAN/NEGZERO
+    # _FloatSentinel objects across rows, which Python's default tuple
+    # ordering cannot compare — repr gives a total order regardless
     return sorted(rows, key=repr)
 
 
