@@ -473,7 +473,7 @@ object Text {
     sampLshCache.clear(); sampMh20Cache.clear(); scoreCache.clear()
   }
 
-  /** The dirs currently memoized for `spark` across the five
+  /** The dirs currently memoized for `spark` across the eight
     * (session, dir) caches — test hook for the one-dir-per-session
     * eviction bound (not part of the library surface). */
   private[graft] def memoizedDirs(spark: SparkSession): Set[String] =

@@ -62,6 +62,50 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     streamed.size should be > 0
   }
 
+  test("minhash20 signature + band assignment: AvailableNow streaming run == batch run") {
+    import spark.implicits._
+    // graft_minhash20 is a pure per-row projection, so the signature
+    // build needs no watermark or state — THE incremental-ingestion
+    // story for the dedup family at 100 TB: signatures + band keys are
+    // computed as documents arrive and appended to the persisted
+    // signature table; the banded candidate join downstream reads that
+    // table, batch or stream alike. Formulation verbatim from the
+    // memoized mh20 table (Text.computeMh20Sigs / q_minhash_est).
+    def sigs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select($"doc_id",
+          expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
+        .select(
+          Seq($"doc_id",
+            substring(sha2(concat_ws(":",
+              (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
+              256), 1, 16).as("band")) ++
+            (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
+
+    val batch = sigs(Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sig_ck").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sig_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val q = sigs(spark.readStream
+        .schema(Tables.documents(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+      .writeStream
+      .outputMode("append") // stateless projection: plain append
+      .format("memory").queryName("parity_sigs")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val streamed = spark.table("parity_sigs").collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size should be > 0
+  }
+
   test("exact-dedup agg: AvailableNow streaming run == batch run") {
     import spark.implicits._
     // q_exact_dedup's core: one aggregation → streamable as-is. THE
