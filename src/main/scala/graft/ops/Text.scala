@@ -1209,27 +1209,40 @@ object Text {
     * packet timeline (convert.sh:60-62: reconstruct an absolute span
     * from positional samples).
     *
+    * Pair grain is STAR-REDUCED — (cluster keeper, member), one row
+    * per non-keeper near-dup member, keeper = the memoized CC
+    * fixpoint's min-id label: the raw hamming-pair surface is
+    * quadratic inside an identical cluster (328,756 simhash pairs at
+    * sf0.1 — a k-doc copy cluster emits k(k−1)/2), and per-pair gram
+    * matching over it measured 4.3 s where the star form is
+    * sub-second. Same doctrine as q_lsh_neardup/q_multiband_dedup:
+    * the span a dedup DECISION needs is member-vs-keeper (what run
+    * do I excise from the doc I'm keeping it against), never
+    * member-vs-member.
+    *
     * Mechanics: positional 8-grams per candidate document (gram g at
     * token position i covers tokens i..i+7), equi-joined across each
-    * pair on gram text; matches on one DIAGONAL (pa − pb constant)
-    * at consecutive positions are overlapping grams of ONE duplicated
-    * run, grouped by the islands trick (pa − row_number over the
-    * diagonal); a run of r consecutive matching grams spans r+7
-    * tokens. Per pair: the longest run, earliest-position
-    * tie-broken; pairs with no exact 8-gram in common (SimHash
-    * collides on global distribution, not contiguity) survive with
-    * span 0 via the left join.
+    * (keeper, member) pair on gram text; matches on one DIAGONAL
+    * (pa − pb constant) at consecutive positions are overlapping
+    * grams of ONE duplicated run, grouped by the islands trick
+    * (pa − row_number over the diagonal); a run of r consecutive
+    * matching grams spans r+7 tokens. Per pair: the longest run,
+    * earliest-position tie-broken; pairs with no exact 8-gram in
+    * common (SimHash collides on global distribution, not
+    * contiguity) survive with span 0 via the left join.
     *
-    * Scale: the gram explode runs ONLY over docs in the memoized
-    * candidate pair set (left-semi join first — at 100 TB that is
-    * the few-% near-dup slice, never the corpus), and the match join
-    * keys on (doc, gram) with per-pair fanout bounded by real shared
-    * runs. A production variant shuffles a 64-bit gram digest
+    * Scale: the gram explode runs ONLY over docs in the near-dup
+    * cluster slice (left-semi join first — at 100 TB that is the
+    * few-% of the corpus with an edge, never the corpus), and the
+    * match join keys on (doc, gram) with fanout ≤ one keeper per
+    * member. A production variant shuffles a 64-bit gram digest
     * instead of the 8-token string; at toy SF the string IS cheaper
     * than hashing it. All-integer output — no tie surface. */
   def qDupSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = simhashPairs(spark, dir).select($"da", $"db")
+    val pairs = clusterLabels(spark, dir)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"cluster_id".as("da"), $"doc_id".as("db"))
     val cand = pairs.select($"da".as("doc_id"))
       .union(pairs.select($"db".as("doc_id"))).distinct()
     val grams = Tables.documents(spark, dir)
@@ -1241,6 +1254,10 @@ object Text {
           "i -> named_struct('pos', i, 'gram', array_join(slice(t, i, 8), ' ')))"))
         .as("g"))
       .select($"doc_id", $"g.pos".as("pos"), $"g.gram".as("gram"))
+      // the gram table feeds BOTH sides of the match join — checkpoint
+      // so the semi-join + explode subtree runs once, not twice (the
+      // standing derived-self-join doctrine)
+      .localCheckpoint(eager = false)
     val m = pairs
       .join(grams.select($"doc_id".as("da"), $"pos".as("pa"), $"gram"), "da")
       .join(grams.select($"doc_id".as("db"), $"pos".as("pb"), $"gram"),
@@ -2002,7 +2019,7 @@ object Text {
         |WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_dup_spans" ->
-      """WITH t AS (SELECT DISTINCT doc_id,
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
         |  FROM documents),
         |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
@@ -2024,8 +2041,18 @@ object Text {
         |  FROM banded x
         |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
         |    AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT da, db FROM cand
+        |hp AS (SELECT da, db FROM cand
         |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |edges AS (SELECT da AS src, db AS dst FROM hp
+        |  UNION SELECT db, da FROM hp),
+        |walk(v, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON w.v = e.src),
+        |labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id
+        |  FROM walk GROUP BY v),
+        |pairs AS (SELECT cluster_id AS da, doc_id AS db
+        |  FROM labels WHERE doc_id <> cluster_id),
         |cd AS (SELECT DISTINCT doc_id FROM
         |  (SELECT da AS doc_id FROM pairs
         |   UNION ALL SELECT db AS doc_id FROM pairs)),

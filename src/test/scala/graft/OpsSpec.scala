@@ -379,7 +379,7 @@ class OpsSpec extends SparkSuite with Matchers {
     banded shouldBe brute // pigeonhole: 4 nibble bands cover distance 3
   }
 
-  test("dup spans: one row per simhash pair; identical docs span their full length") {
+  test("dup spans: one row per non-keeper cluster member; identical docs span their full length") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lower, split, trim}
     import org.apache.spark.sql.functions.{size => asize}
@@ -387,8 +387,13 @@ class OpsSpec extends SparkSuite with Matchers {
       .select($"da", $"db", $"max_run", $"span_tokens")
       .as[(Long, Long, Long, Long)].collect()
     spans should not be empty
-    // exactly the candidate pair surface — the left join drops nothing
-    spans.length shouldBe Text.qSimhashNeardup(spark, sf).count()
+    // star grain: exactly the non-keeper members of the CC labeling,
+    // each paired with its cluster keeper — the left join drops nothing
+    val labels = Text.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    spans.length shouldBe labels.count { case (d, c) => d != c }
+    val keeperOf = labels.toMap
+    spans.foreach { case (a, b, _, _) => keeperOf(b) shouldBe a }
     val nTok = graft.Tables.documents(spark, sf)
       .select($"doc_id", asize(split(trim(lower($"text")), " +")).as("n"))
       .as[(Long, Int)].collect().toMap
