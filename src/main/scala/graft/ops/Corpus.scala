@@ -46,6 +46,40 @@ object Corpus {
       .when(u < 0.9 * 65536, "val")
       .otherwise("test")
 
+  /** The corpus's DISTINCT positional-8-gram table — (doc_id, split,
+    * gram), grams distinct'd per doc in-stage (array_distinct before
+    * the explode) and the L27 hash split attached at DOC grain (one
+    * sha-256 per document, never per gram). Memoized per (session,
+    * dir) via Text's cache registry: three registry queries
+    * (q_contamination, q_ngram_coverage, q_split_leakage) consume
+    * the SAME deterministic table, so the tokenize + gram explode
+    * runs once per session/input — the "gram table is a persisted
+    * intermediate" shape a production decontamination pipeline runs
+    * (at 100 TB this is a parquet write the family reads, keyed by
+    * xxhash64(gram) — 8 bytes instead of ~50; the string form here
+    * is the oracle parity contract). localCheckpoint keeps it
+    * distributed; Bench/Profile clear per pass via
+    * Text.clearSigCache so timings stay honest. Deterministic (pure
+    * string ops + sha2), so reuse can never change a result.
+    * q_contamination consumed NON-distinct grams before r10 — its
+    * outputs only ever touched grams through DISTINCT aggregations
+    * (a distinct'd benchmark side, a count_distinct per doc), so the
+    * per-doc distinct grain is value-identical there. */
+  private val gramCache = Text.newMemoCache()
+
+  private def docGrams8(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(gramCache, spark, dir) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", toks($"text").as("t"))
+        .filter(size($"t") >= 8)
+        .withColumn("split", splitOf(u16($"doc_id")))
+        .select($"doc_id", $"split", explode(array_distinct(transform(
+          sequence(lit(1), size($"t") - 7),
+          i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
+        .localCheckpoint(eager = false)
+    }
+
   /** Exact integer-term quantization for the log-sum family: each
     * per-term double (single-expression arithmetic on identical
     * inputs, hence bit-identical under IEEE 754 on both engines) is
@@ -269,8 +303,8 @@ object Corpus {
 
   /** L23 — benchmark decontamination: training docs sharing any
     * 8-gram with the benchmark set (stand-in: doc_id % 10 == 0 — a
-    * deterministic eval split both engines agree on). 8-grams are
-    * built positionally inside the projection; the benchmark gram
+    * deterministic eval split both engines agree on). Reads the
+    * shared memoized gram table ([[docGrams8]]); the benchmark gram
     * set is DISTINCT'd then joined — at 100 TB that side is
     * benchmark-sized (thousands of docs), a true broadcast dim,
     * while the training grams stream through the semi-join without
@@ -278,12 +312,9 @@ object Corpus {
     * integer-exact. */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .select($"doc_id", toks($"text").as("t"))
-      .filter(size($"t") >= 8)
-      .select($"doc_id", explode(transform(
-        sequence(lit(1), size($"t") - 7),
-        i => array_join(slice($"t", i, lit(8)), " "))).as("gram"))
+    // the shared memoized gram table ([[docGrams8]] — per-doc
+    // DISTINCT grain; both aggregations below are distinct-safe)
+    val grams = docGrams8(spark, dir).select($"doc_id", $"gram")
     val bench = grams.filter($"doc_id" % 10 === 0)
       .select($"gram").distinct()
     grams.filter($"doc_id" % 10 =!= 0)
@@ -344,22 +375,15 @@ object Corpus {
   /** L26 — cross-doc duplicate n-gram coverage (the corpus-level dedup
     * *metric*, complementing the pair-producing dedup ops): per doc,
     * the share of its DISTINCT 8-grams that occur in at least one
-    * OTHER document. Grams are distinct'd inside the projection
-    * (array_distinct before explode) so df counts documents, not
-    * occurrences; one vocabulary-keyed hash-agg builds df and one
-    * doc-keyed agg folds the share — the only shuffles carry
-    * (doc_id, gram) pairs, never document bodies. At 100 TB the gram
-    * string would be replaced by xxhash64(gram) for the df pass (the
-    * share only needs equality); the string form here is the oracle
-    * parity contract. Flag threshold is integer (5·dup > total). */
+    * OTHER document. Reads the shared memoized gram table
+    * ([[docGrams8]] — per-doc distinct grain, so df counts
+    * documents, not occurrences); one vocabulary-keyed hash-agg
+    * builds df and one doc-keyed agg folds the share — the only
+    * shuffles carry (doc_id, gram) pairs, never document bodies.
+    * Flag threshold is integer (5·dup > total). */
   def qNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = Tables.documents(spark, dir)
-      .select($"doc_id", toks($"text").as("t"))
-      .filter(size($"t") >= 8)
-      .select($"doc_id", explode(array_distinct(transform(
-        sequence(lit(1), size($"t") - 7),
-        i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
+    val g = docGrams8(spark, dir).select($"doc_id", $"gram")
     val df = g.groupBy($"gram").agg(count(lit(1)).as("df"))
     g.join(df, "gram")
       .groupBy($"doc_id")
@@ -396,27 +420,18 @@ object Corpus {
     * 80/10/10 — growth-stable, engine-independent) with L23's
     * positional 8-grams.
     *
-    * Scale shape: ONE sha-256 per doc (the split is attached before
-    * the gram explode, never recomputed per gram); grams are
-    * distinct'd in-stage (array_distinct before explode) so the
-    * shuffle carries (doc, gram) pairs at distinct-gram grain. The
+    * Scale shape: reads the shared memoized gram table
+    * ([[docGrams8]] — ONE sha-256 per doc with the split attached
+    * before the gram explode, grams distinct'd in-stage, so the
+    * shuffle carries (doc, gram) pairs at distinct-gram grain). The
     * train gram set is corpus-sized — unlike L23's benchmark side it
     * is NEVER broadcast: held-out grams meet it in a plain shuffle
-    * hash join on the gram key (at 100 TB the join key would be
-    * xxhash64(gram) — 8 bytes instead of ~50 — with the string form
-    * here as the oracle parity contract, the q_ngram_coverage
-    * doctrine). Output is all-integer (no round site, nothing for
-    * the tie sweep to flag); ORDER BY integer doc_id. */
+    * hash join on the gram key. Output is all-integer (no round
+    * site, nothing for the tie sweep to flag); ORDER BY integer
+    * doc_id. */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, dir)
-      .select($"doc_id", toks($"text").as("t"))
-      .filter(size($"t") >= 8)
-      .withColumn("split", splitOf(u16($"doc_id")))
-    val g = d.select($"doc_id", $"split",
-      explode(array_distinct(transform(
-        sequence(lit(1), size($"t") - 7),
-        i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
+    val g = docGrams8(spark, dir)
     val train = g.filter($"split" === "train")
       .select($"gram").distinct()
       .withColumn("in_train", lit(1))

@@ -483,6 +483,24 @@ object Text {
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     memoized(sigCache, spark, dir)(computeMinhashSigs(spark, dir))
 
+  /** Registry of every (session, dir) memo cache across the ops
+    * modules: the eviction listener, the [[memoizedDirs]] test hook,
+    * and the per-pass [[clearSigCache]] all iterate it, so a new
+    * shared-work cache (in ANY ops module — e.g. Corpus's gram
+    * table) registers once via [[newMemoCache]] and inherits all
+    * three behaviors instead of hand-extending three lists. */
+  private[ops] val memoCaches =
+    scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]]
+
+  private[ops] def newMemoCache()
+      : scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame] = {
+    val c = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+    memoCaches.synchronized { memoCaches += c }
+    c
+  }
+
   /** Memoized per (session, dir) like [[clusterLabels]]: five
     * registry queries (sig dump, banded candidates, multi-band,
     * dup matrix, LSH re-rank) consume the SAME deterministic
@@ -493,25 +511,23 @@ object Text {
     * [[graft.Bench]]/Profile clear the memo per pass so timings stay
     * honest. Deterministic (pure sha2), so reuse can never change a
     * result. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigCache = newMemoCache()
 
-  /** Clears the signature memos (4-salt and 20-hash) AND the
-    * token-set memo they feed from — Bench/Profile call this per
-    * timing pass. */
-  def clearSigCache(): Unit = {
-    sigCache.clear(); tokCache.clear(); mh20Cache.clear(); pairCache.clear()
-    sampLshCache.clear(); sampMh20Cache.clear(); scoreCache.clear()
-  }
+  /** Clears EVERY registered memo cache (signatures, token sets,
+    * pair samples, score table, CC labels, Corpus's gram table…) —
+    * Bench/Profile call this per timing pass so each pass pays
+    * shared work exactly once. */
+  def clearSigCache(): Unit =
+    memoCaches.synchronized { memoCaches.foreach(_.clear()) }
 
-  /** The dirs currently memoized for `spark` across the eight
-    * (session, dir) caches — test hook for the one-dir-per-session
+  /** The dirs currently memoized for `spark` across every registered
+    * (session, dir) cache — test hook for the one-dir-per-session
     * eviction bound (not part of the library surface). */
   private[graft] def memoizedDirs(spark: SparkSession): Set[String] =
-    (sigCache.keys ++ labelCache.keys ++ tokCache.keys ++ mh20Cache.keys ++
-      pairCache.keys ++ sampLshCache.keys ++ sampMh20Cache.keys ++
-      scoreCache.keys)
-      .collect { case (s, d) if s eq spark => d }.toSet
+    memoCaches.synchronized {
+      memoCaches.iterator.flatMap(_.keys)
+        .collect { case (s, d) if s eq spark => d }.toSet
+    }
 
   /** Eviction for the (session, dir) memo caches: entries hold
     * localCheckpoint'd DataFrames (executor block-manager storage)
@@ -534,7 +550,7 @@ object Text {
   private val evictionHooked =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Boolean]
 
-  private def memoized(
+  private[ops] def memoized(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
     if (evictionHooked.putIfAbsent(spark.sparkContext, true).isEmpty)
@@ -542,14 +558,11 @@ object Text {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            labelCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            tokCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            mh20Cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            sampLshCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            sampMh20Cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-            scoreCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+            memoCaches.synchronized {
+              memoCaches.foreach(_.filterInPlace {
+                case ((s, _), _) => !s.sparkContext.isStopped
+              })
+            }
             evictionHooked.filterInPlace { case (sc, _) => !sc.isStopped }
           }
         })
@@ -584,8 +597,7 @@ object Text {
     * group-size aggregate from blocks.) Deterministic
     * (pure sha2 + affine arithmetic), so reuse never changes a
     * result; Bench/Profile clear via [[clearSigCache]]. */
-  private val mh20Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val mh20Cache = newMemoCache()
 
   private def mh20Sigs(spark: SparkSession, dir: String): DataFrame =
     memoized(mh20Cache, spark, dir)(computeMh20Sigs(spark, dir))
@@ -618,8 +630,7 @@ object Text {
     * Deterministic (pure string ops), so reuse can never change a
     * result; Bench/Profile clear the memo per pass via
     * [[clearSigCache]]. */
-  private val tokCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tokCache = newMemoCache()
 
   private def docTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -648,8 +659,7 @@ object Text {
     * precision eval itself and the shared exact-Jaccard score table
     * ([[sampledPairScores]]), so the quadratic band join runs once
     * per session/input. */
-  private val sampLshCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sampLshCache = newMemoCache()
 
   private def sampledLshPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(sampLshCache, spark, dir) {
@@ -668,8 +678,7 @@ object Text {
     * 16-hash agreement count k computed while both signature rows are
     * on hand. Memoized like [[sampledLshPairs]] and for the same
     * reason (feeds the eval and the shared score table). */
-  private val sampMh20Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sampMh20Cache = newMemoCache()
 
   private def sampledMh20Pairs(spark: SparkSession, dir: String): DataFrame =
     memoized(sampMh20Cache, spark, dir) {
@@ -698,8 +707,7 @@ object Text {
     * can never change either query's values. Candidates sharing NO
     * token survive via the left join (coalesced to 0) — dropping
     * them would inflate precision, the classic eval bug. */
-  private val scoreCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val scoreCache = newMemoCache()
 
   private def sampledPairScores(spark: SparkSession, dir: String): DataFrame =
     memoized(scoreCache, spark, dir) {
@@ -1016,8 +1024,7 @@ object Text {
     * (8-wide, no skew split) whenever a cluster query runs first,
     * making performance depend on query order. Eager pins the
     * materialization to session confs at memo-insert time. */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairCache = newMemoCache()
 
   private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(pairCache, spark, dir)(
@@ -1072,8 +1079,7 @@ object Text {
     * CC has exactly one fixpoint for a given edge set, so reuse can
     * never change a result. [[graft.Bench]] clears the memo between
     * timing passes so each pass pays the iteration cost exactly once. */
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val labelCache = newMemoCache()
 
   def clearLabelCache(): Unit = labelCache.clear()
 
