@@ -67,7 +67,7 @@ object Corpus {
     * per-doc distinct grain is value-identical there. */
   private val gramCache = Text.newMemoCache()
 
-  private def docGrams8(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docGrams8(spark: SparkSession, dir: String): DataFrame =
     Text.memoized(gramCache, spark, dir) {
       import spark.implicits._
       Tables.documents(spark, dir)

@@ -120,6 +120,64 @@ class BucketingSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /** The decontamination family's 100 TB layout claim, made code
+    * (same doctrine as the dedup case above): Corpus.docGrams8's
+    * scaladoc asserts "at 100 TB this is a parquet write the family
+    * reads" — here the gram table IS written bucketed on the gram
+    * key, and the two shapes the family runs over it plan with NO
+    * Exchange at all: the document-frequency aggregation
+    * (q_ngram_coverage's df pass) reuses the bucketing as its
+    * hash-partitioning, and the held-out⋈train gram join
+    * (q_split_leakage's leak probe) merge-joins two filtered reads
+    * of the SAME bucketed table — nothing crosses the network for
+    * either, which is what makes the decontamination sweep scan-
+    * bound rather than shuffle-bound at corpus scale. */
+  test("gram table bucketed by gram: df agg and leakage join never shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE off for the plan assertions (see the dedup case above)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeLike => e }.size
+    try {
+      val wh = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      spark.sql("DROP TABLE IF EXISTS gram_bkt")
+      val d = new java.io.File(wh, "gram_bkt")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+
+      graft.ops.Corpus.docGrams8(spark, sf)
+        .write.mode("overwrite")
+        .bucketBy(8, "gram").sortBy("gram").saveAsTable("gram_bkt")
+      val g = spark.table("gram_bkt")
+
+      // q_ngram_coverage's df pass: the bucketing IS the agg's
+      // required hash-partitioning — zero exchanges
+      val dfAgg = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+      exchanges(dfAgg) shouldBe 0
+      dfAgg.queryExecution.executedPlan.toString should include("Bucketed: true")
+
+      // q_split_leakage's probe: held-out grams meet the train gram
+      // set — two filtered reads of one bucketed table, zero exchanges
+      val train = g.filter($"split" === "train").select($"gram").distinct()
+        .withColumn("in_train", lit(1))
+      val probe = g.filter($"split" =!= "train").hint("merge")
+        .join(train, Seq("gram"), "left")
+      probe.queryExecution.executedPlan.toString should include("SortMergeJoin")
+      exchanges(probe) shouldBe 0
+
+      // and the bucketed read computes the same leak counts as the
+      // registry query's plan
+      val gotLeaked = probe.groupBy($"doc_id")
+        .agg(sum(coalesce($"in_train", lit(0))).as("leak8"))
+        .filter($"leak8" > 0).count()
+      val expected = graft.ops.Corpus.queries("q_split_leakage")(spark, sf)
+        .filter($"leaked" === 1).count()
+      gotLeaked shouldBe expected
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** §4.3 runtime row-level filtering: when a shuffle join's build
     * side carries a selective predicate, Catalyst injects a bloom
     * filter built from the dim keys INTO THE FACT SCAN — at 100 TB
