@@ -106,6 +106,40 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     streamed.size should be > 0
   }
 
+  test("encoding quality gate: AvailableNow streaming run == batch run") {
+    import spark.implicits._
+    // the quality-gate side of the incremental-ingestion story: the
+    // encoding gate (q_encoding_gate's core) is a pure per-row
+    // projection, so damage counters + keep flags are computed as
+    // documents ARRIVE and appended next to them — a live feed and
+    // the 100 TB backfill share the one declarative gate
+    // (graft.ops.Text.encodingGate), no state, no watermark.
+    val batch = graft.ops.Text.encodingGate(Tables.documents(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ck").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_gate_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val q = graft.ops.Text.encodingGate(spark.readStream
+        .schema(Tables.documents(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+      .writeStream
+      .outputMode("append") // stateless projection: plain append
+      .format("memory").queryName("parity_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val streamed = spark.table("parity_gate").collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size should be > 0
+  }
+
   test("exact-dedup agg: AvailableNow streaming run == batch run") {
     import spark.implicits._
     // q_exact_dedup's core: one aggregation → streamable as-is. THE
