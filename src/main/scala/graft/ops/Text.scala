@@ -915,6 +915,10 @@ object Text {
           slice($"tk", lit(1), size($"tk") - 1),
           slice($"tk", lit(2), size($"tk") - 1),
           (a, b) => concat_ws(" ", a, b)))).as("sh"))
+      // three consumers (two self-join branches + sizes) — materialize
+      // the shingle build once; the self-join's broadcast-free branches
+      // cannot share an exchange otherwise
+      .localCheckpoint(eager = false)
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.alias("a")
       .join(t.alias("b"),
