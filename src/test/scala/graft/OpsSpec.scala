@@ -155,6 +155,17 @@ class OpsSpec extends SparkSuite with Matchers {
     plan should not include "l_comment"
   }
 
+  test("token fertility prunes the scan to (text, lang) and pre-aggregates map-side") {
+    // the 100 TB shape: the corpus-wide totals must reach the shuffle
+    // as |langs|-per-task partial aggregates of a 2-column scan — a
+    // plan that shuffles token rows or reads doc_id would be wrong
+    val plan = planOf(Text.qTokenFertility(spark, sf))
+    plan should include("partial_count")
+    plan should include("partial_sum")
+    plan should not include "doc_id"
+    plan should include("ReadSchema: struct<text:string,lang:string>")
+  }
+
   test("AQE coalesces the 32 shuffle partitions down to the data's size") {
     // §4.3 doctrine: shuffle partitions are sized by DATA, not the
     // static conf — on sf0.001 the post-shuffle stage must not run 32
