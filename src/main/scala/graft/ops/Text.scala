@@ -1014,6 +1014,48 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L69 — dedup-modality AGREEMENT profile: per document, the
+    * bitmask of dedup modalities that mark it a duplicate-cluster
+    * member — exact content hash (1, q_exact_dedup's criterion),
+    * 4-salt LSH band collision (2, q_minhash_dedup's candidate
+    * criterion), SimHash hamming ≤ 3 (4, q_simhash_neardup's pair
+    * criterion) — histogrammed to ≤ 8 integer rows. The eval a
+    * curation team runs before picking modalities for a 100 TB
+    * sweep: mask 7 = full agreement (the fuzzy passes are redundant
+    * there), 2 or 4 alone = the recall that modality adds over exact
+    * hashing, 0 = the untouched corpus. DOC grain by construction —
+    * membership flags, never pair enumeration (the star-reduction
+    * doctrine applied to an eval: a 2 272-doc identical cluster
+    * contributes 2 272 rows here, not 2.58M pairs). Three flag
+    * lattices: two hash-agg+join passes on the digest and band keys
+    * (both corpus-proportional count tables — UNHINTED shuffle joins
+    * by doctrine) plus a semi-membership left join on the memoized
+    * SimHash pair set; docs absent from a near-dup surface coalesce
+    * to 0, so the histogram always covers the whole corpus. */
+  def qDedupModality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = Tables.documents(spark, dir)
+      .select($"doc_id", sha2(lower(trim($"text")), 256).as("ch"))
+    val exact = ch
+      .join(ch.groupBy($"ch").agg(count(lit(1)).as("nc")), "ch")
+      .select($"doc_id", ($"nc" > 1).cast("int").as("ex"))
+    val bands = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val lsh = bands
+      .join(bands.groupBy($"band").agg(count(lit(1)).as("nb")), "band")
+      .select($"doc_id", ($"nb" > 1).cast("int").as("ls"))
+    val sp = simhashPairs(spark, dir)
+    val members = sp.select($"da".as("doc_id"))
+      .union(sp.select($"db".as("doc_id"))).distinct()
+      .withColumn("sh", lit(1))
+    exact
+      .join(lsh, Seq("doc_id"), "left")
+      .join(members, Seq("doc_id"), "left")
+      .select(($"ex" + coalesce($"ls", lit(0)) * 2 +
+        coalesce($"sh", lit(0)) * 4).as("flags"))
+      .groupBy($"flags").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"flags".asc_nulls_first)
+  }
+
   /** The (da, db, hamming) near-dup pair set qSimhashNeardup orders
     * and qDedupClusters clusters — banded candidate generation +
     * exact hamming re-rank, unordered. Memoized per (session, dir)
@@ -1533,6 +1575,7 @@ object Text {
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
+    "q_dedup_modality" -> (qDedupModality _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_keep_canonical" -> (qKeepCanonical _),
     "q_dup_spans" -> (qDupSpans _),
@@ -2042,6 +2085,62 @@ object Text {
         |FROM bits
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_dedup_modality" ->
+      """WITH ch AS (SELECT doc_id, sha256(lower(trim(text))) AS ch
+        |  FROM documents),
+        |cex AS (SELECT ch, count(*) AS nc FROM ch GROUP BY ch),
+        |exact AS (SELECT doc_id,
+        |    CASE WHEN nc > 1 THEN 1 ELSE 0 END AS ex
+        |  FROM ch JOIN cex USING (ch)),
+        |t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |msig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |mb AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM msig),
+        |mbc AS (SELECT band, count(*) AS nb FROM mb GROUP BY band),
+        |lsh AS (SELECT doc_id,
+        |    CASE WHEN nb > 1 THEN 1 ELSE 0 END AS ls
+        |  FROM mb JOIN mbc USING (band)),
+        |h AS (SELECT doc_id, sha256(tok) AS h FROM t),
+        |b AS (SELECT doc_id, i AS p,
+        |    CASE WHEN strpos('0123456789abcdef', substr(h, i, 1)) - 1 >= 8
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM h, generate_series(1, 63) s(i)),
+        |g AS (SELECT doc_id, p, sum(sgn) AS s FROM b GROUP BY doc_id, p),
+        |bits AS (SELECT doc_id, p,
+        |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM g),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bp,
+        |    (simhash >> (bp * 16)) & 65535 AS bv
+        |  FROM sig, generate_series(0, 3) s(bp)),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x
+        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id),
+        |hp AS (SELECT da, db FROM cand
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |sm AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT da AS doc_id FROM hp UNION ALL SELECT db FROM hp)),
+        |fl AS (SELECT e.doc_id,
+        |    e.ex + 2 * coalesce(l.ls, 0)
+        |      + 4 * (CASE WHEN sm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS flags
+        |  FROM exact e
+        |  LEFT JOIN lsh l ON e.doc_id = l.doc_id
+        |  LEFT JOIN sm ON e.doc_id = sm.doc_id)
+        |SELECT flags, count(*) AS n_docs FROM fl
+        |GROUP BY flags
+        |ORDER BY flags ASC NULLS FIRST""".stripMargin,
     "q_simhash_neardup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
