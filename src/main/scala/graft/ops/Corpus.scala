@@ -358,7 +358,20 @@ object Corpus {
     * threshold is integer math (5·dup > total ⇔ ratio > 0.2). */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    repetitionCounts(Tables.documents(spark, dir))
+      .select($"doc_id", $"n3", $"d3",
+        round(($"n3" - $"d3").cast("double") / $"n3", 6).as("rep_ratio"),
+        (($"n3" - $"d3") * 5 > $"n3").cast("int").as("flagged"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The per-doc 3-gram total/distinct counts qRepetition scores —
+    * split out (r10) so Text.qGateFunnel reuses the EXACT gram
+    * arithmetic (docs under 3 tokens are absent; funnel consumers
+    * left-join and coalesce the flag to 0). */
+  private[graft] def repetitionCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id", explode(transform(
@@ -366,10 +379,6 @@ object Corpus {
         i => array_join(slice($"t", i, lit(3)), " "))).as("gram"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n3"), count_distinct($"gram").as("d3"))
-      .select($"doc_id", $"n3", $"d3",
-        round(($"n3" - $"d3").cast("double") / $"n3", 6).as("rep_ratio"),
-        (($"n3" - $"d3") * 5 > $"n3").cast("int").as("flagged"))
-      .orderBy($"doc_id".asc_nulls_first)
   }
 
   /** L26 — cross-doc duplicate n-gram coverage (the corpus-level dedup

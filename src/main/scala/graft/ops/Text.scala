@@ -101,25 +101,31 @@ object Text {
     * count side is corpus-sized and therefore UNHINTED. */
   def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val base = docs.select($"doc_id",
-      size(split($"text", " ")).as("wc"),
-      size(array_distinct(split($"text", " "))).as("uw"),
-      length($"text").as("len"))
+    gopherGate(Tables.documents(spark, dir))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The rule lattice on any (doc_id, text) frame — split out (r10)
+    * so the gate funnel ([[qGateFunnel]]) reuses the EXACT rule
+    * arithmetic instead of drifting a copy. */
+  private[graft] def gopherGate(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("wc"),
+      size(array_distinct(split(col("text"), " "))).as("uw"),
+      length(col("text")).as("len"))
     val top = docs
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("maxc"))
-    val mwl = ($"len" - $"wc" + 1).cast("double") / $"wc"
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+    val mwl = (col("len") - col("wc") + 1).cast("double") / col("wc")
     base.join(top, "doc_id")
       .withColumn("flags",
-        when($"wc" < 30, 1).otherwise(0) +
+        when(col("wc") < 30, 1).otherwise(0) +
           when(mwl < 4.0 || mwl > 5.0, 2).otherwise(0) +
-          when($"uw".cast("double") / $"wc" < 0.35, 4).otherwise(0) +
-          when($"maxc".cast("double") / $"wc" > 0.12, 8).otherwise(0))
-      .select($"doc_id", $"wc".cast("long").as("wc"), $"flags",
-        when($"flags" === 0, 1).otherwise(0).as("keep"))
-      .orderBy($"doc_id".asc_nulls_first)
+          when(col("uw").cast("double") / col("wc") < 0.35, 4).otherwise(0) +
+          when(col("maxc").cast("double") / col("wc") > 0.12, 8).otherwise(0))
+      .select(col("doc_id"), col("wc").cast("long").as("wc"), col("flags"),
+        when(col("flags") === 0, 1).otherwise(0).as("keep"))
   }
 
   /** L66 — encoding/mojibake QUALITY GATE, completing qGopherRules'
@@ -172,6 +178,45 @@ object Text {
       .select(col("doc_id"), col("n_repl"), col("n_ctrl"),
         col("max_nonascii_run"), col("flags"),
         when(col("flags") === 0, 1).otherwise(0).as("keep"))
+  }
+
+  /** L70 — quality-gate FUNNEL: the per-source curation summary a
+    * pipeline publishes after a filtering run — how many documents
+    * each gate rejects (Gopher rule lattice, encoding gate, 3-gram
+    * repetition) and how many survive ALL of them. This is the
+    * top-level deliverable of the gate family: the per-doc views
+    * (qGopherRules, qEncodingGate, qRepetition) are the drill-downs,
+    * this is the dashboard row. Reuses the EXACT factored gate
+    * arithmetic ([[gopherGate]], [[encodingGate]],
+    * Corpus.repetitionCounts) so the funnel can never drift from the
+    * gates it summarizes. Docs under 3 tokens have no repetition row
+    * — left join + coalesce(0), same rule as the oracle. All-integer
+    * output (counts only — zero tie surface); plan is three doc-grain
+    * flag lattices equi-joined on doc_id then one ≤|sources|-row hash
+    * agg: every shuffle is doc-grain or smaller, scan-bound at
+    * 100 TB. */
+  def qGateFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val gop = gopherGate(docs)
+      .select($"doc_id", ($"flags" =!= 0).cast("int").as("fg"))
+    val enc = encodingGate(docs)
+      .select($"doc_id", ($"flags" =!= 0).cast("int").as("fe"))
+    val rep = Corpus.repetitionCounts(docs)
+      .select($"doc_id", (($"n3" - $"d3") * 5 > $"n3").cast("int").as("fr"))
+    docs.select($"doc_id", $"source")
+      .join(gop, "doc_id")
+      .join(enc, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .select($"source", $"fg", $"fe", coalesce($"fr", lit(0)).as("fr"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"fg").as("fail_gopher"),
+        sum($"fe").as("fail_encoding"),
+        sum($"fr").as("fail_repetition"),
+        sum(when($"fg" === 0 && $"fe" === 0 && $"fr" === 0, 1)
+          .otherwise(0)).as("keep"))
+      .orderBy($"source".asc_nulls_first)
   }
 
   /** L36 — context-window CHUNKING with overlap: split every document
@@ -1556,6 +1601,7 @@ object Text {
     "q_token_freq" -> (qTokenFreq _),
     "q_doc_stats" -> (qDocStats _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_gate_funnel" -> (qGateFunnel _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_oov_rate" -> (qOovRate _),
     "q_token_budget" -> (qTokenBudget _),
@@ -2085,6 +2131,67 @@ object Text {
         |FROM bits
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_gate_funnel" ->
+      """WITH base AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_distinct(string_split(text, ' '))) AS uw,
+        |    length(text) AS len
+        |  FROM documents),
+        |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tw GROUP BY doc_id, w),
+        |mx AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+        |gf AS (SELECT b.doc_id,
+        |    (CASE WHEN b.wc < 30 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN CAST(b.len - b.wc + 1 AS DOUBLE) / b.wc < 4.0
+        |          OR CAST(b.len - b.wc + 1 AS DOUBLE) / b.wc > 5.0
+        |        THEN 2 ELSE 0 END) +
+        |    (CASE WHEN CAST(b.uw AS DOUBLE) / b.wc < 0.35 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN CAST(mx.maxc AS DOUBLE) / b.wc > 0.12 THEN 8 ELSE 0 END)
+        |      AS gflags
+        |  FROM base b JOIN mx USING (doc_id)),
+        |e AS (SELECT doc_id, length(text) AS len,
+        |    length(text) - length(replace(text, chr(65533), ''))
+        |      AS n_repl,
+        |    len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS n_ctrl,
+        |    coalesce(list_max(list_transform(
+        |      regexp_extract_all(text, '[^\x00-\x7F]+'),
+        |      x -> length(x))), 0) AS max_nonascii_run
+        |  FROM documents),
+        |ef AS (SELECT doc_id,
+        |    (CASE WHEN n_repl > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_ctrl * 500 > len THEN 2 ELSE 0 END
+        |     + CASE WHEN max_nonascii_run >= 20 THEN 4 ELSE 0 END)
+        |      AS eflags
+        |  FROM e),
+        |tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 3),
+        |agg AS (SELECT doc_id, count(*) AS n3,
+        |    count(DISTINCT gram) AS d3 FROM g GROUP BY doc_id),
+        |rf AS (SELECT doc_id,
+        |    CAST((n3 - d3) * 5 > n3 AS INT) AS fr FROM agg),
+        |j AS (SELECT d.source, gf.gflags, ef.eflags,
+        |    coalesce(rf.fr, 0) AS fr
+        |  FROM documents d
+        |  JOIN gf ON d.doc_id = gf.doc_id
+        |  JOIN ef ON d.doc_id = ef.doc_id
+        |  LEFT JOIN rf ON d.doc_id = rf.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN gflags <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_gopher,
+        |  CAST(sum(CASE WHEN eflags <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_encoding,
+        |  CAST(sum(fr) AS BIGINT) AS fail_repetition,
+        |  CAST(sum(CASE WHEN gflags = 0 AND eflags = 0 AND fr = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS keep
+        |FROM j
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_dedup_modality" ->
       """WITH ch AS (SELECT doc_id, sha256(lower(trim(text))) AS ch
         |  FROM documents),
