@@ -473,7 +473,11 @@ class OpsSpec extends SparkSuite with Matchers {
     // per-row math path got the codegen'd graft_dot expression.)
     // AQE only materializes codegen stages in the FINAL plan (execute
     // first), where toString renders them as the "*(n)" star prefix.
-    for (q <- Seq(Text.qTokenCount(spark, sf), Text.qFingerprint(spark, sf))) {
+    // (q_encoding_gate's non-ASCII-run max is a higher-order
+    // transform — interpreted by design, same class as
+    // q_quality_score.)
+    for (q <- Seq(Text.qTokenCount(spark, sf), Text.qFingerprint(spark, sf),
+        Text.qTokenFertility(spark, sf))) {
       q.collect()
       planOf(q) should include("*(1)")
     }
