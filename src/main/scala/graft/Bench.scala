@@ -47,8 +47,7 @@ object Bench {
       // exactly once — q_dedup_clusters sorts before q_keep_canonical,
       // so the first consumer in the pass computes, the second reuses;
       // without the clear, pass 2+ would time cache hits
-      graft.ops.Text.clearLabelCache()
-      graft.ops.Text.clearSigCache()
+      graft.ops.Text.clearMemoCaches()
       subset.foreach { name =>
         val t = timeOnce(SparkEntry.queries(name))
         val cur = best.getOrElse(name, Double.MaxValue)
@@ -70,12 +69,18 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // Total FIRST, on its own line: the driver keeps only a bounded
-    // stdout tail and has truncated the per-query map two rounds
-    // running — leading with the headline number means BOTH artifact
-    // paths (stdout tail + the file below) always carry it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // The driver keeps only a bounded stdout capture and has
+    // truncated the long per-query line two rounds running. Print the
+    // short headline line BOTH before and after it: a head-bounded
+    // capture keeps the first copy, a tail-bounded capture (last K
+    // bytes — which would drop a line printed only BEFORE a
+    // longer-than-K neighbor) keeps the last copy. Either way the
+    // total survives even if the file write below is lost.
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(totalLine)
     println(line)
+    println(totalLine)
     // Also persist the full line next to the build: the harness that
     // captures stdout keeps only a bounded tail, which has truncated
     // the per-query map two rounds running — a file survives intact.

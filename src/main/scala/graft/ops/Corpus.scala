@@ -59,7 +59,7 @@ object Corpus {
     * xxhash64(gram) — 8 bytes instead of ~50; the string form here
     * is the oracle parity contract). localCheckpoint keeps it
     * distributed; Bench/Profile clear per pass via
-    * Text.clearSigCache so timings stay honest. Deterministic (pure
+    * Text.clearMemoCaches so timings stay honest. Deterministic (pure
     * string ops + sha2), so reuse can never change a result.
     * q_contamination consumed NON-distinct grams before r10 — its
     * outputs only ever touched grams through DISTINCT aggregations

@@ -530,7 +530,7 @@ object Text {
 
   /** Registry of every (session, dir) memo cache across the ops
     * modules: the eviction listener, the [[memoizedDirs]] test hook,
-    * and the per-pass [[clearSigCache]] all iterate it, so a new
+    * and the per-pass [[clearMemoCaches]] all iterate it, so a new
     * shared-work cache (in ANY ops module — e.g. Corpus's gram
     * table) registers once via [[newMemoCache]] and inherits all
     * three behaviors instead of hand-extending three lists. */
@@ -562,7 +562,7 @@ object Text {
     * pair samples, score table, CC labels, Corpus's gram table…) —
     * Bench/Profile call this per timing pass so each pass pays
     * shared work exactly once. */
-  def clearSigCache(): Unit =
+  def clearMemoCaches(): Unit =
     memoCaches.synchronized { memoCaches.foreach(_.clear()) }
 
   /** The dirs currently memoized for `spark` across every registered
@@ -588,7 +588,7 @@ object Text {
     * lets the ContextCleaner reclaim the checkpoint blocks; a
     * harness that interleaves dirs just recomputes — the plans are
     * pure and deterministic, so reuse or recompute never changes a
-    * result). [[clearSigCache]]/[[clearLabelCache]] remain for
+    * result). [[clearMemoCaches]] remains for
     * per-pass timing honesty (Bench/Profile).
     * (TrieMap.getOrElseUpdate may evaluate the builder twice under
     * concurrency — benign: the plan is lazy and deterministic.) */
@@ -641,15 +641,23 @@ object Text {
     * [[Skew.saltedSelfPairs]], the checkpoint would also feed its
     * group-size aggregate from blocks.) Deterministic
     * (pure sha2 + affine arithmetic), so reuse never changes a
-    * result; Bench/Profile clear via [[clearSigCache]]. */
+    * result; Bench/Profile clear via [[clearMemoCaches]]. */
   private val mh20Cache = newMemoCache()
 
   private def mh20Sigs(spark: SparkSession, dir: String): DataFrame =
     memoized(mh20Cache, spark, dir)(computeMh20Sigs(spark, dir))
 
-  private def computeMh20Sigs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  private def computeMh20Sigs(spark: SparkSession, dir: String): DataFrame =
+    mh20Project(Tables.documents(spark, dir)).localCheckpoint(eager = false)
+
+  /** The 20-hash signature + band PROJECTION on any (doc_id, text)
+    * frame — split out (r10) so the streaming-ingestion parity spec
+    * runs the PRODUCTION formulation on both the batch and streamed
+    * sides instead of a copy that could drift (the encodingGate
+    * factoring, applied here). */
+  private[graft] def mh20Project(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id",
         expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
       .select(
@@ -658,7 +666,6 @@ object Text {
             (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
             256), 1, 16).as("band")) ++
           (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
-      .localCheckpoint(eager = false)
   }
 
   /** The DISTINCT (doc_id, tok) token-set table, memoized per
@@ -674,7 +681,7 @@ object Text {
     * intermediate" shape a production dedup runs at 100 TB.
     * Deterministic (pure string ops), so reuse can never change a
     * result; Bench/Profile clear the memo per pass via
-    * [[clearSigCache]]. */
+    * [[clearMemoCaches]]. */
   private val tokCache = newMemoCache()
 
   private def docTokens(spark: SparkSession, dir: String): DataFrame = {
@@ -1079,15 +1086,18 @@ object Text {
     * to 0, so the histogram always covers the whole corpus. */
   def qDedupModality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ch = Tables.documents(spark, dir)
+    // group-size flags via key-partitioned count windows (qDupBias's
+    // one-scan shape — a count-table self-join would re-run each
+    // derived subtree for its second consumer)
+    val wch = Window.partitionBy($"ch")
+    val exact = Tables.documents(spark, dir)
       .select($"doc_id", sha2(lower(trim($"text")), 256).as("ch"))
-    val exact = ch
-      .join(ch.groupBy($"ch").agg(count(lit(1)).as("nc")), "ch")
-      .select($"doc_id", ($"nc" > 1).cast("int").as("ex"))
-    val bands = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val lsh = bands
-      .join(bands.groupBy($"band").agg(count(lit(1)).as("nb")), "band")
-      .select($"doc_id", ($"nb" > 1).cast("int").as("ls"))
+      .select($"doc_id",
+        (count(lit(1)).over(wch) > 1).cast("int").as("ex"))
+    val wb = Window.partitionBy($"band")
+    val lsh = minhashSigs(spark, dir).select($"doc_id", $"band")
+      .select($"doc_id",
+        (count(lit(1)).over(wb) > 1).cast("int").as("ls"))
     val sp = simhashPairs(spark, dir)
     val members = sp.select($"da".as("doc_id"))
       .union(sp.select($"db".as("doc_id"))).distinct()
@@ -1107,7 +1117,7 @@ object Text {
     * like [[minhashSigs]]: the ordered dump and the CC fixpoint's
     * edge build consume the SAME deterministic pair set, so the
     * banded self-join + re-rank runs once per session/input;
-    * Bench/Profile clear via [[clearSigCache]]. EAGER checkpoint,
+    * Bench/Profile clear via [[clearMemoCaches]]. EAGER checkpoint,
     * unlike the signature memos: the first consumer may be the CC
     * fixpoint, which tunes shuffle.partitions down to the iteration
     * state and disables AQE for its loop — a lazy checkpoint would
@@ -1171,8 +1181,6 @@ object Text {
     * never change a result. [[graft.Bench]] clears the memo between
     * timing passes so each pass pays the iteration cost exactly once. */
   private val labelCache = newMemoCache()
-
-  def clearLabelCache(): Unit = labelCache.clear()
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     memoized(labelCache, spark, dir)(computeClusterLabels(spark, dir))

@@ -20,7 +20,7 @@ object PassSim {
     graft.SparkEntry.queries("q_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     for (pass <- 1 to 2) {
-      graft.ops.Text.clearLabelCache(); graft.ops.Text.clearSigCache()
+      graft.ops.Text.clearMemoCaches()
       names.foreach { n =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir)

@@ -24,8 +24,7 @@ object Profile {
       val times = (1 to 3).map { _ =>
         // each run must pay memoized shared work (CC label fixpoint)
         // itself — otherwise runs 2-3 time a cache hit
-        graft.ops.Text.clearLabelCache()
-        graft.ops.Text.clearSigCache()
+        graft.ops.Text.clearMemoCaches()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

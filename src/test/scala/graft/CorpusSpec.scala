@@ -124,14 +124,14 @@ class CorpusSpec extends SparkSuite with Matchers {
       Seq((2L, "c d")).toDF("doc_id", "text")
         .write.parquet(s"$d/documents.parquet")
     }
-    Text.clearSigCache(); Text.clearLabelCache()
+    Text.clearMemoCaches()
     Text.queries("q_minhash_sig")(spark, d1)
     Text.memoizedDirs(spark) shouldBe Set(d1)
     // same session, new dir: the old dir's plans (and their strong
     // refs to checkpoint blocks) must be gone, not accumulated
     Text.queries("q_minhash_sig")(spark, d2)
     Text.memoizedDirs(spark) shouldBe Set(d2)
-    Text.clearSigCache(); Text.clearLabelCache()
+    Text.clearMemoCaches()
   }
 
   test("split leakage: held-out docs flag iff they share an 8-gram with train") {

@@ -63,23 +63,17 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
   }
 
   test("minhash20 signature + band assignment: AvailableNow streaming run == batch run") {
-    import spark.implicits._
     // graft_minhash20 is a pure per-row projection, so the signature
     // build needs no watermark or state — THE incremental-ingestion
     // story for the dedup family at 100 TB: signatures + band keys are
     // computed as documents arrive and appended to the persisted
     // signature table; the banded candidate join downstream reads that
-    // table, batch or stream alike. Formulation verbatim from the
-    // memoized mh20 table (Text.computeMh20Sigs / q_minhash_est).
+    // table, batch or stream alike. Runs the PRODUCTION projection
+    // (graft.ops.Text.mh20Project — the memoized mh20 table's exact
+    // formulation) on both sides, so the parity claim cannot drift
+    // from the code it covers.
     def sigs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.select($"doc_id",
-          expr("graft_minhash20(split(trim(lower(text)), ' +'))").as("mh"))
-        .select(
-          Seq($"doc_id",
-            substring(sha2(concat_ws(":",
-              (0 until 4).map(i => element_at($"mh", i + 1).cast("string")): _*),
-              256), 1, 16).as("band")) ++
-            (0 until 16).map(i => element_at($"mh", i + 5).as(s"m$i")): _*)
+      graft.ops.Text.mh20Project(df)
 
     val batch = sigs(Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
 

@@ -88,6 +88,29 @@ class TieHunterSpec extends AnyFunSuite {
       s"detector false-flagged a VARCHAR '-0.0' cell:\n$out")
   }
 
+  test("float-sentinel canon is byte-identical between check.py and tiecheck.py") {
+    // The _FloatSentinel class + NAN/NEGZERO singletons exist in BOTH
+    // gate scripts (the t2 mirror and the tie sweep) — duplicated on
+    // purpose so the correctness-gate mirror has zero import coupling.
+    // This pins the FUNCTIONAL block (docstrings excluded) so an edit
+    // to one canon cannot silently diverge the two gates' equality
+    // semantics (the r9 ADVICE class: the sweep's canon was fixed
+    // while the mirror kept the old string sentinels).
+    def canonBlock(p: Path): String = {
+      val s = Files.readString(p)
+      val start = s.indexOf("__slots__")
+      val end = s.indexOf("NEGZERO = _FloatSentinel(\"-0.0\")")
+      assert(start >= 0 && end > start, s"sentinel block not found in $p")
+      s.substring(start, end + "NEGZERO = _FloatSentinel(\"-0.0\")".length)
+        .replaceAll("""(?s)\"\"\".*?\"\"\"""", "") // per-method docstrings, if any
+        .replaceAll("""\s+""", " ").trim
+    }
+    val check = Paths.get(sys.props("user.dir")).resolve("tools/check.py")
+    assume(Files.isRegularFile(check) && Files.isRegularFile(tool))
+    assert(canonBlock(check) == canonBlock(tool),
+      "tools/check.py and tools/tiecheck.py float-sentinel blocks diverged")
+  }
+
   test("no unexplained rounding-tie hazards across the registry (sf0.001)") {
     assume(Files.isRegularFile(tool), s"$tool missing")
     assume(haveDuckdb, "python3+duckdb not available on this host")
