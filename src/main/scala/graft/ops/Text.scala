@@ -790,23 +790,30 @@ object Text {
     minhashSigs(spark, dir).orderBy($"doc_id".asc_nulls_first)
   }
 
-  /** L6 consumer — the LSH banded candidate join, the 100 TB dedup
-    * path: docs sharing a band bucket become candidate pairs via ONE
-    * shuffle on the band key (per-bucket quadratic, never
-    * corpus-quadratic). Each doc carries exactly one band here
-    * (b=1, r=4 LSH), so pairs are emitted at most once; a multi-band
-    * deployment adds `select distinct` over (da, db). Downstream, a
-    * full-signature (or exact-Jaccard) check re-ranks the candidates —
-    * q_near_dup's metric applied to this candidate set instead of the
-    * (source, lang) blocks. */
+  /** L6 consumer — the LSH banded dedup surface, the 100 TB dedup
+    * path: docs sharing a band bucket become (keeper, member)
+    * candidate edges via ONE shuffle on the band key. STAR-REDUCED
+    * (r11, the r10 verdict's last pair-grain plan): each bucket's
+    * representative (min doc_id) claims the bucket and every other
+    * member attaches to it — k−1 edges for a k-doc bucket instead of
+    * the raw self-join's k(k−1)/2 pairs, so a dense near-identical
+    * cluster (sf0.1: 2 272 docs in one band → 2.58M raw pairs on ONE
+    * task; ~2.6·10¹⁰ at 100×) costs linear rows on any input. Same
+    * reduction as q_multiband_dedup/q_lsh_neardup; LSH bands are an
+    * equivalence blocking, so keeper edges carry the same dedup
+    * decision as all pairs (transitivity via the shared keeper).
+    * Plan: groupBy(band)→min (map-side combinable) + one
+    * co-partitioned band join — per-bucket LINEAR fan-out. Each doc
+    * carries exactly one band (b=1, r=4 LSH). Downstream, a
+    * full-signature (or exact-Jaccard) check re-ranks member-vs-
+    * keeper — q_lsh_neardup IS that re-rank on this exact edge set. */
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
-    sig.alias("a")
-      .join(sig.alias("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.band").as("band"))
+    val rep = sig.groupBy($"band").agg(min($"doc_id").as("da"))
+    sig.join(rep, "band")
+      .filter($"doc_id" =!= $"da")
+      .select($"da", $"doc_id".as("db"), $"band")
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
@@ -919,11 +926,19 @@ object Text {
     * permutations for the price of one digest (16 separate salted
     * digests cost 16 MessageDigest rounds per token row — the
     * dominant cost at sf0.1 — and production MinHash derives its
-    * permutation family the same way). Integer mins also keep the
-    * self-join rows 8 bytes per hash; this corpus has a 2 272-doc
-    * band cluster whose quadratic pair fan-out is one task's work,
-    * so row width matters. The band stays derived from the 4 salted
-    * full-digest mins — candidate-set parity with q_minhash_dedup. */
+    * permutation family the same way).
+    *
+    * STAR-REDUCED (r11): each member is scored against its band
+    * KEEPER (min doc_id) only — the comparison a dedup decision
+    * actually consumes (keep/drop vs the bucket's survivor), and the
+    * signature-space mirror of q_minhash_dedup's edge set (keeper
+    * parity: both take min doc_id per band). The former raw band
+    * self-join put a dense band's M² pair fan-out on ONE task
+    * (sf0.1: 2.58M pairs; ~2.6·10¹⁰ at 100× — the r10 verdict's
+    * flagged manual-salt intervention); this shape is per-bucket
+    * LINEAR: one map-side-combinable min(struct) agg picks each
+    * keeper's signature row, one co-partitioned band join scores
+    * members — no salt knob needed at any cluster density. */
   def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // band hashes AND estimation minhashes are all affine functions of
@@ -935,21 +950,24 @@ object Text {
     // bit-identical to the SQL formulation (differential-tested in
     // SketchSpec); the signature build becomes a pure projection,
     // memoized family-wide ([[mh20Sigs]], shared with q_est_error —
-    // the memo's localCheckpoint is also the shared materialization
-    // for the self-join's two branches). The pair enumeration stays
-    // the PLAIN band self-join: at bench SF the dense band's M²
-    // fan-out is ~0.3 s of executor time while the salted two-path
-    // plan costs 2-3 s of driver planning/codegen (measured r9, see
-    // [[Skew.saltedSelfPairs]]) — the salted mechanism is the knob
-    // to reach for when a band outgrows one task's memory.
+    // the memo's localCheckpoint also serves the agg + join branches
+    // below without recomputing the projection).
     val sig = mh20Sigs(spark, dir)
+    // keeper signature per band in ONE agg: min(struct(doc_id, m*))
+    // orders lexicographically by the unique doc_id, so the struct min
+    // IS the keeper's full signature row — no keeper-id join needed.
+    val rep = sig
+      .groupBy($"band")
+      .agg(min(struct($"doc_id" +: (0 until 16).map(i => col(s"m$i")): _*))
+        .as("r"))
+      .select($"band" +: $"r.doc_id".as("da") +:
+        (0 until 16).map(i => col(s"r.m$i").as(s"r$i")): _*)
     val matches = (0 until 16)
-      .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
+      .map(i => (col(s"m$i") === col(s"r$i")).cast("int"))
       .reduce(_ + _)
-    sig.alias("a")
-      .join(sig.alias("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+    sig.join(rep, "band")
+      .filter($"doc_id" =!= $"da")
+      .select($"da", $"doc_id".as("db"),
         round(matches.cast("double") / 16, 4).as("est_jaccard"))
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
@@ -1235,8 +1253,13 @@ object Text {
     // serializing the fixpoint through 8 partitions.
     val spWas = spark.conf.get("spark.sql.shuffle.partitions")
     val nEdges = 2L * pairsIn.count() // symmetric: each pair → 2 edges
+    // the conf can be non-numeric on some runtimes ("auto" on vendor
+    // platforms) — fall back to the cluster's default parallelism
+    // rather than NumberFormatException-ing the whole fixpoint
+    val sessionWidth = scala.util.Try(spWas.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions",
-      ccLoopWidth(nEdges, spWas.toInt).toString)
+      ccLoopWidth(nEdges, sessionWidth).toString)
     try {
     // Cache the EDGES partitioned AND sorted on the probe key: every
     // round joins edges ⋈ labels on src, and a cached partitioning +
@@ -2024,10 +2047,14 @@ object Text {
          |sb AS (SELECT doc_id,
          |    substring(sha256($bandCat), 1, 16) AS band,
          |    ${(0 until 16).map(i => s"m$i").mkString(", ")}
-         |  FROM s)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  FROM s),
+         |rep AS (SELECT band, min(doc_id) AS rep_id FROM sb GROUP BY band),
+         |a AS (SELECT sb.band, sb.doc_id AS da,
+         |    ${(0 until 16).map(i => s"sb.m$i AS m$i").mkString(", ")}
+         |  FROM sb JOIN rep ON sb.band = rep.band AND sb.doc_id = rep.rep_id)
+         |SELECT a.da AS da, b.doc_id AS db,
          |  round(($eqs) / 16.0, 4) AS est_jaccard
-         |FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
+         |FROM sb b JOIN a ON b.band = a.band AND b.doc_id <> a.da
          |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin
     },
     "q_minhash_dedup" ->
@@ -2042,9 +2069,10 @@ object Text {
         |  FROM t GROUP BY doc_id),
         |b AS (SELECT doc_id,
         |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
-        |  FROM sig)
-        |SELECT x.doc_id AS da, y.doc_id AS db, x.band AS band
-        |FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+        |  FROM sig),
+        |rep AS (SELECT band, min(doc_id) AS da FROM b GROUP BY band)
+        |SELECT rep.da AS da, b.doc_id AS db, b.band AS band
+        |FROM b JOIN rep ON b.band = rep.band AND b.doc_id <> rep.da
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_multiband_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,

@@ -94,6 +94,49 @@ class SkewSpec extends SparkSuite with Matchers {
     * splits it across tasks (skew=true on the join node) — no salting
     * code, no plan change, same rows. Thresholds are lowered so the
     * toy dataset trips the same detector a 100 TB hot key would. */
+  /** r11 star-reduction contract (the r10 verdict's last pair-grain
+    * plans): the MinHash dedup surfaces must stay LINEAR in bucket
+    * size — a dense near-identical band of M docs yields exactly M−1
+    * (keeper, member) edges, never the self-join's M(M−1)/2 pairs,
+    * and the plan must carry no ordered-pair predicate at all (the
+    * `a.doc_id < b.doc_id` raw enumeration is gone, so no single
+    * task can quadratic-expand whatever the cluster density). */
+  test("dense-band dedup surface is linear in cluster size (star-reduced)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.LessThan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def corpus(m: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_dense$m").toString
+      val dense = (1 to m).map(i => (i.toLong, "the same near dup text body"))
+      val lone = Seq((9001L, "a lone document"), (9002L, "another loner"))
+      (dense ++ lone).toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    for (m <- Seq(100, 200)) {
+      val dir = corpus(m)
+      val dedup = ops.Text.qMinhashDedup(spark, dir)
+      val est = ops.Text.qMinhashEst(spark, dir)
+      // linear surface: doubling the dense cluster doubles the edge
+      // count (M−1), where the raw pair surface would quadruple it
+      dedup.count() shouldBe (m - 1).toLong
+      val estRows = est.collect()
+      estRows.length shouldBe (m - 1)
+      // identical docs agree on all 16 estimator hashes
+      estRows.foreach(_.getDouble(2) shouldBe 1.0)
+      // no ordered-pair join predicate anywhere in either plan
+      for (df <- Seq(dedup, est)) {
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        joins should not be empty
+        joins.foreach { j =>
+          j.condition.foreach(c =>
+            assert(!c.exists(_.isInstanceOf[LessThan]),
+              s"pair-enumeration predicate resurfaced: $c"))
+        }
+      }
+    }
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     val confs = Seq(
