@@ -644,7 +644,9 @@ object Text {
     * result; Bench/Profile clear via [[clearMemoCaches]]. */
   private val mh20Cache = newMemoCache()
 
-  private def mh20Sigs(spark: SparkSession, dir: String): DataFrame =
+  // private[graft]: tools.DenseClusterProbe re-runs the RETIRED raw
+  // band self-join against this table to measure the star reduction
+  private[graft] def mh20Sigs(spark: SparkSession, dir: String): DataFrame =
     memoized(mh20Cache, spark, dir)(computeMh20Sigs(spark, dir))
 
   private def computeMh20Sigs(spark: SparkSession, dir: String): DataFrame =
