@@ -1,6 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Routed, verified batch sinks (SURVEY.md §2.1 S9-S11).
@@ -21,7 +25,8 @@ import org.apache.spark.sql.functions._
   *    to _temporary, the job commit renames — the reference's
   *    pending→out protocol, already distributed and fault-tolerant;
   *  - digest keys       → sha2 column, no custom crypto in the engine;
-  *  - head-object check → read-back count + per-tier reconciliation.
+  *  - head-object check → footer-level row count (metadata-only) +
+  *    per-tier reconciliation.
   *
   * At 100 TB: a single partitioned write with `maxRecordsPerFile` /
   * AQE-coalesced output beats per-file puts by orders of magnitude,
@@ -37,8 +42,9 @@ object Sinks {
       .otherwise("STANDARD")
 
   /** Write `df` tier-partitioned under `outDir` with digest key
-    * columns; returns the written row count from a read-back (the
-    * head-object verification, s3-sync.sh:51). df must have a
+    * columns; returns the written row count from the parquet FOOTERS
+    * (the head-object verification, s3-sync.sh:51 — a metadata
+    * check, never a second pass over the data). df must have a
     * `suffix` column and a `name` column. */
   def archiveWrite(df: DataFrame, outDir: String): Long = {
     val routed = df
@@ -49,7 +55,43 @@ object Sinks {
     routed.write.mode(SaveMode.Overwrite)
       .partitionBy("tier")
       .parquet(outDir)
-    df.sparkSession.read.parquet(outDir).count()
+    footerRowCount(df.sparkSession, outDir)
+  }
+
+  /** Sum of the parquet footer row counts under `dir` — the verified
+    * sink's row-count claim WITHOUT re-scanning data pages (r10
+    * verdict: a read-back count() at 100 TB is a second full pass;
+    * the footer already states the truth the committer wrote). Small
+    * file sets (the common per-job commit) read footers on the
+    * driver — ZERO Spark jobs, asserted in PipelineSpec ⚓; above
+    * `distributedThreshold` files the footer reads fan out as one
+    * metadata-weight Spark job (each task opens footers, bytes read
+    * per file ≈ KBs regardless of data size). */
+  def footerRowCount(spark: SparkSession, dir: String,
+                     distributedThreshold: Int = 64): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath.toString
+    }
+    def countOne(c: Configuration)(p: String): Long = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), c))
+      try r.getRecordCount finally r.close()
+    }
+    if (files.length <= distributedThreshold) files.map(countOne(conf)).sum
+    else {
+      // ship the Hadoop conf so object-store credentials/endpoints
+      // reach the executor-side footer reads
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val width = math.min(files.length, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(files.toSeq, width)
+        .map(p => countOne(serConf.value)(p))
+        .sum().toLong
+    }
   }
 
   /** Per-tier reconciliation: expected vs written counts — the batch
