@@ -851,27 +851,44 @@ object Text {
   /** L6 consumer — cross-source duplication matrix: the LSH band
     * candidates rolled up to (source, source) counts — which sources
     * copy which, the provenance question a curation team asks before
-    * deciding whose duplicates to keep. Pair sources attach via two
-    * UNHINTED equi-joins on the doc id (the (doc_id, source) meta is
-    * corpus-proportional — shuffle by doctrine); least/greatest
-    * canonicalizes the pair so the matrix is triangular. Output is
-    * ≤ |sources|² integer rows; the pair surface stays banded
-    * (Σ|bucket|²), never corpus-quadratic. */
+    * deciding whose duplicates to keep. COUNTED, NOT ENUMERATED
+    * (r11): pair counts within a band factor over per-source
+    * membership counts — a band holding cₐ docs of source a and c_b
+    * of source b contributes cₐ·c_b unordered cross pairs and
+    * C(cₐ,2) same-source pairs, independent of doc_id interleaving —
+    * so the whole matrix is ONE groupBy(band, source) count (the
+    * same shuffle the old self-join paid for its probe side) plus a
+    * self-join of that tiny (bands × sources) aggregate on the band
+    * key. The former plan enumerated the banded pair surface first
+    * (per-bucket quadratic, ONE task per bucket — the exact shape
+    * the r11 star reduction retired from q_minhash_dedup); this one
+    * never builds a pair row, so a dense band costs its member
+    * COUNT, not its member count squared. Values are identical —
+    * verified against the unchanged pair-enumerating DuckDB oracle. */
   def qDupMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val pairs = sig.alias("a")
-      .join(sig.alias("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
     val src = Tables.documents(spark, dir).select($"doc_id", $"source")
-    pairs
-      .join(src.select($"doc_id".as("da"), $"source".as("sa")), "da")
-      .join(src.select($"doc_id".as("db"), $"source".as("sb")), "db")
-      .select(least($"sa", $"sb").as("src_a"),
-        greatest($"sa", $"sb").as("src_b"))
+    // (band, source, c): corpus-proportional input, tiny output
+    val bandSrc = sig.join(src, "doc_id")
+      .groupBy($"band", $"source")
+      .agg(count(lit(1)).as("c"))
+    // per band: cross-source products once (sa < sb), same-source
+    // C(c,2); the self-join is over the aggregate, never the corpus
+    val cross = bandSrc.alias("a")
+      .join(bandSrc.alias("b"),
+        col("a.band") === col("b.band") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (col("a.c") * col("b.c")).as("n"))
+    val same = bandSrc
+      .select($"source".as("src_a"), $"source".as("src_b"),
+        // `div`, not `/`: Column./ is true division (double) and the
+        // oracle's count is integral; c·(c−1) is even so div is exact
+        expr("c * (c - 1) div 2").as("n"))
+      .filter($"n" > 0)
+    cross.union(same)
       .groupBy($"src_a", $"src_b")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum($"n").as("n_pairs"))
       .orderBy($"src_a".asc_nulls_first, $"src_b".asc_nulls_first)
   }
 
