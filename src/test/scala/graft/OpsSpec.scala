@@ -295,17 +295,28 @@ class OpsSpec extends SparkSuite with Matchers {
     Seq(100L, 101L, 102L).foreach(v => labels(v) shouldBe 100L)
   }
 
-  test("LSH banded join recovers every near-dup pair that shares a band") {
+  test("LSH banded dedup recovers every near-dup pair that shares a band") {
     import spark.implicits._
     val band = Text.qMinhashSig(spark, sf)
       .select($"doc_id", $"band").as[(Long, String)].collect().toMap
-    val cand = Text.qMinhashDedup(spark, sf)
-      .select($"da", $"db").as[(Long, Long)].collect().toSet
-    cand should not be empty
+    // star contract (r11): (keeper, member) edges — every non-keeper
+    // doc attaches to exactly its band's min doc_id, so the keeper
+    // map reconstructs band co-membership without pair enumeration
+    val edges = Text.qMinhashDedup(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect()
+    edges should not be empty
+    val keeperOf = edges.map { case (k, m) => m -> k }.toMap
+    edges.foreach { case (k, m) =>
+      band(k) shouldBe band(m)
+      k shouldBe band.filter(_._2 == band(m)).keys.min
+    }
+    def rep(d: Long): Long = keeperOf.getOrElse(d, d)
+    // recall: a near-dup pair sharing a band must resolve to one
+    // keeper — the dedup decision the raw pair surface used to carry
     val near = Text.qNearDup(spark, sf)
       .select($"da", $"db").as[(Long, Long)].collect()
     near.filter { case (a, b) => band(a) == band(b) }
-      .foreach(p => cand should contain(p))
+      .foreach { case (a, b) => rep(a) shouldBe rep(b) }
   }
 
   test("end-to-end LSH dedup: star re-rank against the band representative") {
