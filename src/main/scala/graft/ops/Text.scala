@@ -901,8 +901,8 @@ object Text {
     * here; the all-pairs form is k(k−1)/2, which on a corpus with a
     * dense near-identical cluster (this one: 2 272 docs in one band at
     * sf0.1) is millions of pairs that change no dedup decision.
-    * q_minhash_dedup keeps the raw pair surface; this query is the
-    * decision surface. Tokens of each side attach via two equi-joins
+    * q_minhash_dedup emits this same (keeper, member) edge set un-ranked
+    * (star-reduced r11); this query is the re-ranked decision surface. Tokens of each side attach via two equi-joins
     * on the doc id (shuffle by doc_id — the key both inputs already
     * aggregate on), intersection = count of shared tokens. */
   def qLshNeardup(spark: SparkSession, dir: String): DataFrame = {
@@ -927,6 +927,50 @@ object Text {
       .filter($"jaccard" >= 0.9)
       .select($"da", $"db", $"jaccard")
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  /** L71 — INCREMENTAL dedup: vet an incoming batch against the
+    * standing corpus's dedup indexes without re-pairing the corpus —
+    * the CDC shape a production pipeline runs daily (reference
+    * behavior: work already done is skipped, never redone —
+    * convert.sh:20 and s3-sync.sh:17 both gate on an existing
+    * lock/output; here generalized from path identity to content
+    * identity). Batch = doc_id % 10 == 9 (a
+    * deterministic 10% "today's ingest" slice); corpus = the rest.
+    * Two corpus-side indexes, both keeper = min doc_id: the exact
+    * content-digest index (sha2 of canonical text — q_exact_dedup's
+    * key) and the LSH band index (q_minhash_dedup's b=1/r=4 band).
+    * Each batch doc left-joins BOTH and takes the strongest verdict:
+    * byte-identity beats band collision (`drop_exact` > `drop_near` >
+    * `keep`), dup_of = the winning index's keeper. Scale shape: the
+    * indexes are groupBy aggregates over digest/band keys (map-side
+    * combinable, one row per distinct key) and the probes are plain
+    * equi-joins on those keys — the batch never joins the corpus
+    * row-to-row, and at 100 TB the indexes are exactly the persisted
+    * tables a standing dedup service maintains; per-batch cost is
+    * |batch| probe rows, independent of corpus pair structure.
+    * Corpus-sized index tables are never hint-broadcast (repo
+    * doctrine); AQE picks the strategy from runtime sizes. */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digests = Tables.documents(spark, dir)
+      .select($"doc_id", sha2(lower(trim($"text")), 256).as("dg"))
+    val bands = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val isBatch = pmod($"doc_id", lit(10L)) === 9
+    val hashIdx = digests.filter(!isBatch)
+      .groupBy($"dg").agg(min($"doc_id").as("exact_of"))
+    val bandIdx = bands.filter(!isBatch)
+      .groupBy($"band").agg(min($"doc_id").as("near_of"))
+    digests.filter(isBatch)
+      .join(bands.filter(isBatch), "doc_id")
+      .join(hashIdx, Seq("dg"), "left")
+      .join(bandIdx, Seq("band"), "left")
+      .select($"doc_id".as("new_doc"),
+        when($"exact_of".isNotNull, lit("drop_exact"))
+          .when($"near_of".isNotNull, lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce($"exact_of", $"near_of").as("dup_of"))
+      .orderBy($"new_doc".asc_nulls_first)
   }
 
   /** L6+ — signature-space Jaccard ESTIMATION: the fraction of 16
@@ -1665,6 +1709,7 @@ object Text {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_multiband_dedup" -> (qMultibandDedup _),
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
@@ -2093,6 +2138,36 @@ object Text {
         |SELECT rep.da AS da, b.doc_id AS db, b.band AS band
         |FROM b JOIN rep ON b.band = rep.band AND b.doc_id <> rep.da
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |d AS (SELECT doc_id, sha256(lower(trim(text))) AS dg
+        |  FROM documents),
+        |ch AS (SELECT dg, min(doc_id) AS exact_of
+        |  FROM d WHERE doc_id % 10 <> 9 GROUP BY dg),
+        |cb AS (SELECT band, min(doc_id) AS near_of
+        |  FROM b WHERE doc_id % 10 <> 9 GROUP BY band)
+        |SELECT d.doc_id AS new_doc,
+        |  CASE WHEN ch.exact_of IS NOT NULL THEN 'drop_exact'
+        |       WHEN cb.near_of IS NOT NULL THEN 'drop_near'
+        |       ELSE 'keep' END AS verdict,
+        |  coalesce(ch.exact_of, cb.near_of) AS dup_of
+        |FROM d
+        |JOIN b ON d.doc_id = b.doc_id
+        |LEFT JOIN ch ON d.dg = ch.dg
+        |LEFT JOIN cb ON b.band = cb.band
+        |WHERE d.doc_id % 10 = 9
+        |ORDER BY new_doc ASC NULLS FIRST""".stripMargin,
     "q_multiband_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

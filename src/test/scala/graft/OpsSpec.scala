@@ -442,6 +442,29 @@ class OpsSpec extends SparkSuite with Matchers {
     crafted.toSeq shouldBe Seq((1L, 2L, 5L, 12L, 1L, 1L)) // 12 tokens → 5 grams, full span
   }
 
+  test("incremental dedup vets the batch against corpus indexes with exact-first precedence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),          // corpus
+      (2L, "epsilon zeta eta theta"),          // corpus
+      (9L, "alpha beta gamma delta"),          // batch: byte-equal to 1 → drop_exact
+      // same TOKEN set as 1 (double space canonicalizes away in the
+      // tokenizer but NOT in the content digest) → band hit only
+      (19L, "alpha  beta gamma delta"),        // batch: drop_near vs keeper 1
+      (29L, "totally different content here")) // batch: keep
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.queries("q_incremental_dedup")(spark, dir)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    out shouldBe Seq(
+      (9L, "drop_exact", Some(1L)),  // collides in BOTH indexes; exact wins
+      (19L, "drop_near", Some(1L)),
+      (29L, "keep", None))
+    // corpus rows are never re-vetted: every output doc is batch-slice
+    out.map(_._1 % 10).distinct shouldBe Seq(9L)
+  }
+
   test("sentence segmentation keeps order and drops empty fragments") {
     import spark.implicits._
     val docs = Seq(
