@@ -948,30 +948,79 @@ object Text {
     * equi-joins on those keys — the batch never joins the corpus
     * row-to-row, and at 100 TB the indexes are exactly the persisted
     * tables a standing dedup service maintains; per-batch cost is
-    * |batch| probe rows, independent of corpus pair structure.
+    * |batch| probe rows, independent of corpus pair structure. Batch
+    * signatures are computed ON ARRIVAL by [[bandProject]] — a pure
+    * zero-shuffle projection, so the identical vet runs as a
+    * Structured Streaming stream-static join (proven by the
+    * stream-batch parity spec).
     * Corpus-sized index tables are never hint-broadcast (repo
     * doctrine); AQE picks the strategy from runtime sizes. */
   def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val digests = Tables.documents(spark, dir)
-      .select($"doc_id", sha2(lower(trim($"text")), 256).as("dg"))
-    val bands = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val isBatch = pmod($"doc_id", lit(10L)) === 9
-    val hashIdx = digests.filter(!isBatch)
-      .groupBy($"dg").agg(min($"doc_id").as("exact_of"))
-    val bandIdx = bands.filter(!isBatch)
-      .groupBy($"band").agg(min($"doc_id").as("near_of"))
-    digests.filter(isBatch)
-      .join(bands.filter(isBatch), "doc_id")
-      .join(hashIdx, Seq("dg"), "left")
-      .join(bandIdx, Seq("band"), "left")
-      .select($"doc_id".as("new_doc"),
-        when($"exact_of".isNotNull, lit("drop_exact"))
-          .when($"near_of".isNotNull, lit("drop_near"))
-          .otherwise(lit("keep")).as("verdict"),
-        coalesce($"exact_of", $"near_of").as("dup_of"))
+    val (hashIdx, bandIdx) = corpusIndexes(spark, dir)
+    vetBatch(
+      bandProject(Tables.documents(spark, dir)
+        .filter(pmod($"doc_id", lit(10L)) === 9)),
+      hashIdx, bandIdx)
       .orderBy($"new_doc".asc_nulls_first)
   }
+
+  /** The digest + 4-salt LSH band of a document as a PURE PER-ROW
+    * projection — value-identical to [[minhashSigs]]'s explode+groupBy
+    * formulation (min over a doc's tokens commutes between
+    * array_min∘transform and explode+groupBy+min; both orderings are
+    * lexicographic on the hex digests), but with NO shuffle and NO
+    * state: the shape that runs ON A STREAM as documents arrive,
+    * while the standing corpus index is read from the persisted
+    * signature table. q_incremental_dedup's batch side and the
+    * stream-batch parity spec both run exactly this projection.
+    * Deliberately NOT the corpus-wide build: higher-order transform
+    * is interpreted (no whole-stage codegen), measured ~1.6× slower
+    * than [[computeMinhashSigs]]'s codegen'd explode+groupBy on the
+    * full corpus (PLANS.md r11 memo) — this shape is for the arrival
+    * path, where streamability beats codegen. */
+  private[graft] def bandProject(df: DataFrame): DataFrame = {
+    def mh(salt: String): Column =
+      array_min(transform(toks(col("text")),
+        t => sha2(concat(lit(salt + ":"), t), 256)))
+    df.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("dg"),
+      substring(sha2(concat(mh("0"), mh("1"), mh("2"), mh("3")), 256), 1, 16)
+        .as("band"))
+  }
+
+  /** The standing corpus's two dedup keeper indexes (exact content
+    * digest → min doc_id, LSH band → min doc_id) — the persisted
+    * tables a 100 TB dedup service maintains between ingests. Both
+    * are corpus-keyed groupBy aggregates (map-side combinable, one
+    * row per distinct key) and are never hint-broadcast. */
+  private[graft] def corpusIndexes(spark: SparkSession,
+                                   dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val isCorpus = pmod($"doc_id", lit(10L)) =!= 9
+    val hashIdx = Tables.documents(spark, dir).filter(isCorpus)
+      .groupBy(sha2(lower(trim($"text")), 256).as("dg"))
+      .agg(min($"doc_id").as("exact_of"))
+    val bandIdx = minhashSigs(spark, dir).filter(isCorpus)
+      .groupBy($"band").agg(min($"doc_id").as("near_of"))
+    (hashIdx, bandIdx)
+  }
+
+  /** The verdict lattice shared by the batch query and the streaming
+    * parity run: each incoming doc left-probes both corpus indexes,
+    * strongest verdict wins (byte identity > band collision > keep).
+    * Stateless — on a stream these are stream-static equi-joins, so
+    * the vet needs no watermark and emits in append mode. */
+  private[graft] def vetBatch(batch: DataFrame, hashIdx: DataFrame,
+                              bandIdx: DataFrame): DataFrame =
+    batch
+      .join(hashIdx, Seq("dg"), "left")
+      .join(bandIdx, Seq("band"), "left")
+      .select(col("doc_id").as("new_doc"),
+        when(col("exact_of").isNotNull, lit("drop_exact"))
+          .when(col("near_of").isNotNull, lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
 
   /** L6+ — signature-space Jaccard ESTIMATION: the fraction of 16
     * salted min-hashes two docs agree on is an unbiased estimate of

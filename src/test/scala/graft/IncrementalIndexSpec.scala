@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+
+/** The WRITE-BACK half of the CDC dedup loop (companion to the
+  * stream-static parity test, which proves the read half): each
+  * micro-batch is vetted against the signature index AS OF that
+  * batch, and the batch's admitted (kept) documents' signatures are
+  * appended to the index before the next batch runs — so a later
+  * ingest that near-duplicates an EARLIER INGEST (not just the
+  * original corpus) is caught. This is the loop a standing dedup
+  * service runs at 100 TB: the index is a persisted parquet table,
+  * each ingest reads it fresh (`foreachBatch` + `spark.read` — the
+  * documented pattern for an evolving static side), vets, and
+  * appends. Exactly the reference's do-not-redo-finished-work gate
+  * (convert.sh:20, s3-sync.sh:17) with content identity instead of
+  * path identity.
+  */
+class IncrementalIndexSpec extends SparkSuite with Matchers {
+
+  test("CDC loop: batch N's keeps are visible to batch N+1's vet") {
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val idxDir = root.resolve("sig_index").toString
+    val srcDir = root.resolve("arrivals")
+    java.nio.file.Files.createDirectory(srcDir)
+
+    // standing corpus: two docs; index = their on-arrival signatures
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    graft.ops.Text.bandProject(corpus)
+      .write.mode("overwrite").parquet(idxDir)
+
+    // two ingest files, arriving in mtime order: doc 9 is NEW content
+    // (vs the corpus), doc 19 is a near-dup OF DOC 9 — same token
+    // stream, different bytes — so only an index that grew with
+    // batch 1's admission can drop it; against the corpus alone it
+    // would read "keep". doc 29 exercises drop_near vs the ORIGINAL
+    // corpus inside a later batch (regression guard: appending must
+    // not lose the seed rows).
+    def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = 1600000000000L
+    stage("f1", t0, Seq((9L, "foo bar baz quux")))
+    stage("f2", t0 + 60000,
+      Seq((19L, "foo  bar baz quux"), (29L, "alpha beta  gamma delta")))
+
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long])]
+    val q = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // fresh index read PER BATCH — this is the point of the test
+        val idx = spark.read.parquet(idxDir)
+        val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
+        val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
+        val sigs = graft.ops.Text.bandProject(batch).localCheckpoint()
+        val out = graft.ops.Text.vetBatch(sigs, hashIdx, bandIdx)
+          .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+        verdicts.synchronized { verdicts ++= out }
+        val kept = out.filter(_._2 == "keep").map(_._1)
+        if (kept.nonEmpty)
+          sigs.filter($"doc_id".isin(kept: _*))
+            .write.mode("append").parquet(idxDir)
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    verdicts.sortBy(_._1).toSeq shouldBe Seq(
+      (9L, "keep", None),              // batch 1: new vs corpus → admitted
+      (19L, "drop_near", Some(9L)),    // batch 2: near-dup of batch 1's keep
+      (29L, "drop_near", Some(1L)))    // batch 2: near-dup of the seed corpus
+    // the admitted doc's signature row is durably in the index
+    spark.read.parquet(idxDir).filter($"doc_id" === 9L).count() shouldBe 1L
+  }
+}
