@@ -1006,6 +1006,33 @@ object Text {
     (hashIdx, bandIdx)
   }
 
+  /** L72 — index UPSERT: the band keeper index AFTER admitting
+    * today's keeps — the write-back half of the CDC loop whose read
+    * half is q_incremental_dedup (IncrementalIndexSpec drives the
+    * same loop live through foreachBatch). A batch doc is admitted
+    * iff BOTH probes miss (no corpus digest, no corpus band — the
+    * docs q_incremental_dedup verdicts "keep"); admitted docs claim
+    * their band with keeper = min admitted doc_id, and claimed bands
+    * are DISJOINT from corpus bands by construction (a band hit
+    * would have been drop_near), so the upsert is a plain union —
+    * no overwrite lattice needed. Scale shape: two |batch|-row
+    * left probes + one ≤|batch|-key groupBy + a union with the
+    * standing index — the corpus is never re-paired, and the output
+    * IS the next ingest's bandIdx (the index a standing service
+    * persists between runs). */
+  def qIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (hashIdx, bandIdx) = corpusIndexes(spark, dir)
+    val keeps = bandProject(Tables.documents(spark, dir)
+        .filter(pmod($"doc_id", lit(10L)) === 9))
+      .join(hashIdx, Seq("dg"), "left")
+      .join(bandIdx, Seq("band"), "left")
+      .filter($"exact_of".isNull && $"near_of".isNull)
+    bandIdx.select($"band", $"near_of".as("keeper_id"))
+      .unionByName(keeps.groupBy($"band").agg(min($"doc_id").as("keeper_id")))
+      .orderBy($"band".asc_nulls_first)
+  }
+
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,
     * strongest verdict wins (byte identity > band collision > keep).
@@ -1759,6 +1786,7 @@ object Text {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_index_upsert" -> (qIndexUpsert _),
     "q_multiband_dedup" -> (qMultibandDedup _),
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
@@ -2217,6 +2245,34 @@ object Text {
         |LEFT JOIN cb ON b.band = cb.band
         |WHERE d.doc_id % 10 = 9
         |ORDER BY new_doc ASC NULLS FIRST""".stripMargin,
+    "q_index_upsert" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |d AS (SELECT doc_id, sha256(lower(trim(text))) AS dg
+        |  FROM documents),
+        |ch AS (SELECT dg FROM d WHERE doc_id % 10 <> 9 GROUP BY dg),
+        |cb AS (SELECT band, min(doc_id) AS keeper_id
+        |  FROM b WHERE doc_id % 10 <> 9 GROUP BY band),
+        |keeps AS (SELECT b.band, min(b.doc_id) AS keeper_id
+        |  FROM b JOIN d ON b.doc_id = d.doc_id
+        |  WHERE b.doc_id % 10 = 9
+        |    AND d.dg NOT IN (SELECT dg FROM ch)
+        |    AND b.band NOT IN (SELECT band FROM cb)
+        |  GROUP BY b.band)
+        |SELECT band, keeper_id FROM cb
+        |UNION ALL
+        |SELECT band, keeper_id FROM keeps
+        |ORDER BY band ASC NULLS FIRST""".stripMargin,
     "q_multiband_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

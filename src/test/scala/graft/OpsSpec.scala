@@ -465,6 +465,28 @@ class OpsSpec extends SparkSuite with Matchers {
     out.map(_._1 % 10).distinct shouldBe Seq(9L)
   }
 
+  test("index upsert admits only full-miss docs, min-reducing shared new bands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),   // corpus band A, keeper 1
+      (2L, "epsilon zeta eta theta"),   // corpus band B, keeper 2
+      (9L, "alpha beta gamma delta"),   // batch: exact dup → NOT admitted
+      (19L, "foo bar baz quux"),        // batch: keep — new band C
+      (29L, "foo  bar baz quux"),       // batch: keep — SAME band C (min→19)
+      (39L, "completely fresh words"))  // batch: keep — new band D
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.queries("q_index_upsert")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    out.size shouldBe 4 // bands A, B, C, D — one keeper each
+    out.map(_._2).toSet shouldBe Set(1L, 2L, 19L, 39L) // 9 never enters
+    out.map(_._1).distinct.size shouldBe 4 // band keys stay unique
+    // the upsert output IS the next run's band index: every band the
+    // corpus already owned keeps its original keeper
+    out.toMap.values.count(_ < 9L) shouldBe 2
+  }
+
   test("sentence segmentation keeps order and drops empty fragments") {
     import spark.implicits._
     val docs = Seq(
