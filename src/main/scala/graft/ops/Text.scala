@@ -1384,14 +1384,26 @@ object Text {
     // hardcoded 8): clamp(|E|/rowsPerTask) between the 8-wide floor
     // (toy graphs — scheduling overhead dominates) and the session
     // width (the operator never claims MORE parallelism than the
-    // session sized for its data volume). Counting pairsIn here is
-    // ~free: the production caller passes the eager-checkpointed
-    // simhashPairs memo, so the count scans cached blocks — and the
-    // count IS the |V| stat the old comment only promised. At 100 TB
+    // session sized for its data volume). The edge count doubles as
+    // the |E| stat the old comment only promised. At 100 TB
     // a billion-edge graph gets the full session width instead of
     // serializing the fixpoint through 8 partitions.
     val spWas = spark.conf.get("spark.sql.shuffle.partitions")
-    val nEdges = 2L * pairsIn.count() // symmetric: each pair → 2 edges
+    // The count below + the edge cache are TWO consumers of pairsIn.
+    // The production caller passes the eager-checkpointed simhashPairs
+    // memo and specs pass LocalRelations — both already materialized,
+    // count reads blocks. But a direct caller handing an unmaterialized
+    // plan (neither cached, checkpoint-backed, nor local) would compute
+    // its pair-build subtree once for the stat and AGAIN for the edge
+    // cache — materialize those once up front instead. Misclassifying
+    // is safe either way: worst case is one redundant checkpoint job
+    // or today's double computation, never a wrong width or result.
+    val lp = pairsIn.queryExecution.logical.getClass.getSimpleName
+    val pairs =
+      if (pairsIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          || lp == "LogicalRDD" || lp == "LocalRelation") pairsIn
+      else pairsIn.localCheckpoint()
+    val nEdges = 2L * pairs.count() // symmetric: each pair → 2 edges
     // the conf can be non-numeric on some runtimes ("auto" on vendor
     // platforms) — fall back to the cluster's default parallelism
     // rather than NumberFormatException-ing the whole fixpoint
@@ -1415,7 +1427,7 @@ object Text {
     // the old form either ran the banded self-join twice or paid an
     // extra cache-materialization job to avoid it (r9: dropping that
     // job cut the fixpoint's init by ~1 s at sf0.1)
-    val edges = pairsIn
+    val edges = pairs
       .select(explode(array(
         struct($"da".as("src"), $"db".as("dst")),
         struct($"db".as("src"), $"da".as("dst")))).as("e"))
