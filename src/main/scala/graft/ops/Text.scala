@@ -1033,6 +1033,49 @@ object Text {
       .orderBy($"band".asc_nulls_first)
   }
 
+  /** L73 — INTRA-batch dedup: the corpus vet (L71) alone lets two
+    * near-identical docs arriving in the SAME ingest both verdict
+    * "keep" — each misses the standing indexes, neither sees the
+    * other. A standing service must also self-dedup the batch:
+    * first-occurrence-wins WITHIN the batch, corpus verdicts taking
+    * precedence (the standing index's keeper is durable; a batch
+    * witness is not). Verdict lattice per batch doc: corpus digest
+    * hit (`drop_exact`) > corpus band hit (`drop_near`) > an earlier
+    * (smaller doc_id) batch doc with the same digest
+    * (`drop_batch_exact`) > an earlier batch doc with the same band
+    * (`drop_batch_near`) > `keep`; dup_of = the winning keeper
+    * (corpus keeper or the batch group's first occurrence).
+    * Intra-batch comparison is against ALL batch docs, not just
+    * corpus-missed ones: a doc near-dupping a corpus-dropped batch
+    * neighbor still duplicates content that survives via that
+    * neighbor's own keeper. Scale shape: two batch-keyed window
+    * mins (|batch| rows, key-partitioned) + the same two index
+    * probes as L71 — per-batch cost stays independent of corpus
+    * pair structure, and the windows never touch corpus rows. */
+  def qIntraBatchDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (hashIdx, bandIdx) = corpusIndexes(spark, dir)
+    val batch = bandProject(Tables.documents(spark, dir)
+      .filter(pmod($"doc_id", lit(10L)) === 9))
+    batch
+      .withColumn("first_dg", min($"doc_id").over(Window.partitionBy($"dg")))
+      .withColumn("first_band",
+        min($"doc_id").over(Window.partitionBy($"band")))
+      .join(hashIdx, Seq("dg"), "left")
+      .join(bandIdx, Seq("band"), "left")
+      .select($"doc_id".as("new_doc"),
+        when($"exact_of".isNotNull, lit("drop_exact"))
+          .when($"near_of".isNotNull, lit("drop_near"))
+          .when($"first_dg" < $"doc_id", lit("drop_batch_exact"))
+          .when($"first_band" < $"doc_id", lit("drop_batch_near"))
+          .otherwise(lit("keep")).as("verdict"),
+        when($"exact_of".isNotNull, $"exact_of")
+          .when($"near_of".isNotNull, $"near_of")
+          .when($"first_dg" < $"doc_id", $"first_dg")
+          .when($"first_band" < $"doc_id", $"first_band").as("dup_of"))
+      .orderBy($"new_doc".asc_nulls_first)
+  }
+
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,
     * strongest verdict wins (byte identity > band collision > keep).
@@ -1799,6 +1842,7 @@ object Text {
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_index_upsert" -> (qIndexUpsert _),
+    "q_intra_batch_dedup" -> (qIntraBatchDedup _),
     "q_multiband_dedup" -> (qMultibandDedup _),
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
@@ -2285,6 +2329,44 @@ object Text {
         |UNION ALL
         |SELECT band, keeper_id FROM keeps
         |ORDER BY band ASC NULLS FIRST""".stripMargin,
+    "q_intra_batch_dedup" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |d AS (SELECT doc_id, sha256(lower(trim(text))) AS dg
+        |  FROM documents),
+        |ch AS (SELECT dg, min(doc_id) AS exact_of
+        |  FROM d WHERE doc_id % 10 <> 9 GROUP BY dg),
+        |cb AS (SELECT band, min(doc_id) AS near_of
+        |  FROM b WHERE doc_id % 10 <> 9 GROUP BY band),
+        |batch AS (SELECT d.doc_id, d.dg, b.band,
+        |    min(d.doc_id) OVER (PARTITION BY d.dg) AS first_dg,
+        |    min(d.doc_id) OVER (PARTITION BY b.band) AS first_band
+        |  FROM d JOIN b ON d.doc_id = b.doc_id
+        |  WHERE d.doc_id % 10 = 9)
+        |SELECT batch.doc_id AS new_doc,
+        |  CASE WHEN ch.exact_of IS NOT NULL THEN 'drop_exact'
+        |       WHEN cb.near_of IS NOT NULL THEN 'drop_near'
+        |       WHEN first_dg < batch.doc_id THEN 'drop_batch_exact'
+        |       WHEN first_band < batch.doc_id THEN 'drop_batch_near'
+        |       ELSE 'keep' END AS verdict,
+        |  CASE WHEN ch.exact_of IS NOT NULL THEN ch.exact_of
+        |       WHEN cb.near_of IS NOT NULL THEN cb.near_of
+        |       WHEN first_dg < batch.doc_id THEN first_dg
+        |       WHEN first_band < batch.doc_id THEN first_band END AS dup_of
+        |FROM batch
+        |LEFT JOIN ch ON batch.dg = ch.dg
+        |LEFT JOIN cb ON batch.band = cb.band
+        |ORDER BY new_doc ASC NULLS FIRST""".stripMargin,
     "q_multiband_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -487,6 +487,28 @@ class OpsSpec extends SparkSuite with Matchers {
     out.toMap.values.count(_ < 9L) shouldBe 2
   }
 
+  test("intra-batch dedup: corpus precedence, then first occurrence wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_intra").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),   // corpus
+      (9L, "alpha beta gamma delta"),   // batch: corpus exact → drop_exact(1)
+      (19L, "fresh words entirely new"),// batch: keep — first of band F
+      (29L, "fresh  words entirely new"),// batch: near-dup of 19 → drop_batch_near(19)
+      (39L, "fresh words entirely new"),// batch: SAME bytes as 19 → drop_batch_exact(19)
+      (49L, "alpha beta  gamma delta")) // batch: band hits corpus → drop_near(1)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.queries("q_intra_batch_dedup")(spark, dir)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    out shouldBe Seq(
+      (9L, "drop_exact", Some(1L)),
+      (19L, "keep", None),
+      (29L, "drop_batch_near", Some(19L)),
+      (39L, "drop_batch_exact", Some(19L)),
+      (49L, "drop_near", Some(1L)))
+  }
+
   test("sentence segmentation keeps order and drops empty fragments") {
     import spark.implicits._
     val docs = Seq(
