@@ -1055,26 +1055,37 @@ object Text {
   def qIntraBatchDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (hashIdx, bandIdx) = corpusIndexes(spark, dir)
-    val batch = bandProject(Tables.documents(spark, dir)
-      .filter(pmod($"doc_id", lit(10L)) === 9))
-    batch
-      .withColumn("first_dg", min($"doc_id").over(Window.partitionBy($"dg")))
-      .withColumn("first_band",
-        min($"doc_id").over(Window.partitionBy($"band")))
-      .join(hashIdx, Seq("dg"), "left")
-      .join(bandIdx, Seq("band"), "left")
-      .select($"doc_id".as("new_doc"),
-        when($"exact_of".isNotNull, lit("drop_exact"))
-          .when($"near_of".isNotNull, lit("drop_near"))
-          .when($"first_dg" < $"doc_id", lit("drop_batch_exact"))
-          .when($"first_band" < $"doc_id", lit("drop_batch_near"))
-          .otherwise(lit("keep")).as("verdict"),
-        when($"exact_of".isNotNull, $"exact_of")
-          .when($"near_of".isNotNull, $"near_of")
-          .when($"first_dg" < $"doc_id", $"first_dg")
-          .when($"first_band" < $"doc_id", $"first_band").as("dup_of"))
+    vetBatchIntra(
+      bandProject(Tables.documents(spark, dir)
+        .filter(pmod($"doc_id", lit(10L)) === 9)),
+      hashIdx, bandIdx)
       .orderBy($"new_doc".asc_nulls_first)
   }
+
+  /** [[vetBatch]]'s lattice extended with the intra-batch tiers —
+    * shared by q_intra_batch_dedup and the live foreachBatch loop in
+    * IncrementalIndexSpec (the full service vet: corpus precedence,
+    * then first-occurrence-wins inside the batch). */
+  private[graft] def vetBatchIntra(batch: DataFrame, hashIdx: DataFrame,
+                                   bandIdx: DataFrame): DataFrame =
+    batch
+      .withColumn("first_dg",
+        min(col("doc_id")).over(Window.partitionBy(col("dg"))))
+      .withColumn("first_band",
+        min(col("doc_id")).over(Window.partitionBy(col("band"))))
+      .join(hashIdx, Seq("dg"), "left")
+      .join(bandIdx, Seq("band"), "left")
+      .select(col("doc_id").as("new_doc"),
+        when(col("exact_of").isNotNull, lit("drop_exact"))
+          .when(col("near_of").isNotNull, lit("drop_near"))
+          .when(col("first_dg") < col("doc_id"), lit("drop_batch_exact"))
+          .when(col("first_band") < col("doc_id"), lit("drop_batch_near"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("exact_of").isNotNull, col("exact_of"))
+          .when(col("near_of").isNotNull, col("near_of"))
+          .when(col("first_dg") < col("doc_id"), col("first_dg"))
+          .when(col("first_band") < col("doc_id"), col("first_band"))
+          .as("dup_of"))
 
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,

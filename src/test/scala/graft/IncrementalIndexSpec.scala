@@ -93,4 +93,75 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
     // the admitted doc's signature row is durably in the index
     spark.read.parquet(idxDir).filter($"doc_id" === 9L).count() shouldBe 1L
   }
+
+  test("full service vet: intra-batch lattice + write-back in one loop") {
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc2")
+    val idxDir = root.resolve("sig_index").toString
+    val srcDir = root.resolve("arrivals")
+    java.nio.file.Files.createDirectory(srcDir)
+
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.ops.Text.bandProject(corpus)
+      .write.mode("overwrite").parquet(idxDir)
+
+    // ONE file → ONE micro-batch holding an internal near-dup pair
+    // (9, 19) plus a corpus near-dup (29): the corpus-only vet would
+    // admit BOTH 9 and 19. A second file then probes that only 9 —
+    // the batch's first occurrence — entered the index.
+    def stage(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = 1600000000000L
+    stage("f1", t0, Seq(
+      (9L, "foo bar baz quux"),
+      (19L, "foo  bar baz quux"),        // intra-batch near-dup of 9
+      (29L, "alpha  beta gamma delta"))) // corpus near-dup
+    stage("f2", t0 + 60000, Seq((39L, "foo bar  baz  quux")))
+
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Long])]
+    val q = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = spark.read.parquet(idxDir)
+        val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
+        val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
+        val sigs = graft.ops.Text.bandProject(batch).localCheckpoint()
+        val out = graft.ops.Text.vetBatchIntra(sigs, hashIdx, bandIdx)
+          .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+        verdicts.synchronized { verdicts ++= out }
+        val kept = out.filter(_._2 == "keep").map(_._1)
+        if (kept.nonEmpty)
+          sigs.filter($"doc_id".isin(kept: _*))
+            .write.mode("append").parquet(idxDir)
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    verdicts.sortBy(_._1).toSeq shouldBe Seq(
+      (9L, "keep", None),
+      (19L, "drop_batch_near", Some(9L)), // caught INSIDE its own batch
+      (29L, "drop_near", Some(1L)),
+      (39L, "drop_near", Some(9L)))       // vs batch 1's single admission
+    // exactly one row of the near-dup pair entered the index
+    spark.read.parquet(idxDir)
+      .filter($"doc_id".isin(9L, 19L)).count() shouldBe 1L
+  }
 }
