@@ -259,6 +259,51 @@ object Similarity {
       .orderBy($"label".asc_nulls_first, $"pos".asc_nulls_first)
   }
 
+  /** L74 — incremental ANN index maintenance, the similarity-side
+    * mirror of the text family's CDC dedup (L71-L73): assign an
+    * ARRIVING batch of embeddings (vec_id % 10 = 9, the same
+    * deterministic "today's ingest" slice) to the STANDING index's
+    * cells without touching corpus vectors. The standing index is the
+    * per-cell centroid table computed over the corpus slice only —
+    * the k-row metadata an IVF index persists between ingests; each
+    * batch vector takes argmin squared centroid distance (4dp-rounded,
+    * ties → lower cell), and `agrees` audits the assignment against
+    * the vector's stored label — the drift signal that tells an index
+    * operator when accumulated upserts warrant a re-train (Lloyd
+    * iterations, q_kmeans). Scale shape: centroids = posexplode +
+    * two hash-aggs over the corpus (map-side combinable, k×dim rows,
+    * one-time per ingest), then |batch|×k distance evals with the
+    * k-row table BROADCAST (bounded by the index's cell-count
+    * parameter at any corpus size — whitelisted like
+    * q_ann_multiprobe's centroid table); corpus vectors are never
+    * rescanned per batch row. */
+  def qAnnUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val cents = base.filter(pmod($"vec_id", lit(10L)) =!= 9)
+      .select($"label", posexplode($"vec").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("cell"),
+        expr("transform(pc, e -> e.c)").as("cvec"))
+    val batch = base.filter(pmod($"vec_id", lit(10L)) === 9)
+      .select($"vec_id".as("new_vec"), $"label".as("stored_cell"),
+        $"vec".as("qv"))
+    val wa = Window.partitionBy($"new_vec")
+      .orderBy($"dist".asc, $"cell".asc)
+    batch.crossJoin(broadcast(cents))
+      .withColumn("dist", round(
+        expr("graft_dot(qv, qv)") - lit(2.0) * expr("graft_dot(qv, cvec)")
+          + expr("graft_dot(cvec, cvec)"), 4) + lit(0.0))
+      .withColumn("rnk", row_number().over(wa))
+      .filter($"rnk" === 1)
+      .select($"new_vec", $"cell", $"dist",
+        ($"cell" === $"stored_cell").cast("int").as("agrees"))
+      .orderBy($"new_vec".asc_nulls_first)
+  }
+
   /** The full IVF index build: Lloyd's k-means composed from engine
     * primitives — q_centroids is ONE iteration, this loops it to
     * convergence. Per iteration: (1) broadcast the k centroids (a
@@ -523,6 +568,7 @@ object Similarity {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_centroids" -> (qCentroids _),
+    "q_ann_upsert" -> (qAnnUpsert _),
   )
 
   /** Oracle formulation: per-element lateral expansion
@@ -835,5 +881,33 @@ object Similarity {
         |FROM pe
         |GROUP BY label, pos
         |ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+    "q_ann_upsert" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 4) AS c
+        |  FROM pe WHERE vec_id % 10 <> 9 GROUP BY label, i),
+        |qv AS (SELECT vec_id AS new_vec, i, x
+        |  FROM pe WHERE vec_id % 10 = 9),
+        |qq AS (SELECT new_vec, sum(x * x) AS vv FROM qv GROUP BY new_vec),
+        |ccs AS (SELECT cell, sum(c * c) AS cc FROM cent GROUP BY cell),
+        |qc AS (SELECT q.new_vec, c.cell, sum(q.x * c.c) AS qc
+        |  FROM qv q JOIN cent c ON q.i = c.i GROUP BY q.new_vec, c.cell),
+        |sl AS (SELECT DISTINCT vec_id AS new_vec, label AS stored_cell
+        |  FROM embeddings WHERE vec_id % 10 = 9),
+        |d AS (SELECT qc.new_vec, qc.cell,
+        |    round(qq.vv - 2.0 * qc.qc + ccs.cc, 4) + 0.0 AS dist
+        |  FROM qc JOIN qq ON qc.new_vec = qq.new_vec
+        |  JOIN ccs ON qc.cell = ccs.cell),
+        |r AS (SELECT new_vec, cell, dist,
+        |    row_number() OVER (PARTITION BY new_vec
+        |      ORDER BY dist ASC, cell ASC) AS rnk
+        |  FROM d)
+        |SELECT r.new_vec, r.cell, r.dist,
+        |  CAST(r.cell = sl.stored_cell AS INT) AS agrees
+        |FROM r JOIN sl ON r.new_vec = sl.new_vec
+        |WHERE rnk = 1
+        |ORDER BY r.new_vec ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -254,7 +254,11 @@ class OpsSpec extends SparkSuite with Matchers {
       // q_oov_rate's vocab is <=16 rows BY CONSTRUCTION (top-K limit)
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_recall", "q_semantic_dedup", "q_oov_rate",
-      "q_assign_purity", "q_knn_classify")
+      "q_assign_purity", "q_knn_classify",
+      // q_ann_upsert broadcasts the standing index's k-row centroid
+      // table (bounded by the IVF cell-count parameter, not the
+      // corpus) — same class as q_ann_multiprobe's centroid hint
+      "q_ann_upsert")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -507,6 +511,28 @@ class OpsSpec extends SparkSuite with Matchers {
       (29L, "drop_batch_near", Some(19L)),
       (39L, "drop_batch_exact", Some(19L)),
       (49L, "drop_near", Some(1L)))
+  }
+
+  test("ann upsert assigns to nearest standing centroid and audits drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annup").toString
+    Seq(
+      // corpus slice: cell 0 sits at ~(0,0), cell 1 at ~(10,10)
+      (0L, Seq(0.0f, 0.0f), 0),
+      (1L, Seq(0.2f, 0.0f), 0),
+      (2L, Seq(10.0f, 10.0f), 1),
+      (3L, Seq(10.2f, 10.0f), 1),
+      // batch slice: 9 is stored in cell 0 but sits next to cell 1's
+      // centroid → reassigned with agrees=0 (the drift signal);
+      // 19 is stored where it belongs → agrees=1
+      (9L, Seq(9.9f, 10.1f), 0),
+      (19L, Seq(0.1f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("q_ann_upsert")(spark, dir)
+      .select($"new_vec", $"cell", $"agrees")
+      .as[(Long, Int, Int)].collect().toSeq
+    out shouldBe Seq((9L, 1, 0), (19L, 0, 1))
   }
 
   test("sentence segmentation keeps order and drops empty fragments") {
