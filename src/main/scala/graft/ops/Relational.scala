@@ -243,13 +243,23 @@ object Relational {
     * columns so neither is degenerate-all-null. */
   def qTryFuncs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Sort FIRST, project AFTER: a global sort's range-partitioner
+    // samples its child to pick bounds, so a projection BELOW the
+    // sort is evaluated twice (sampling pass + real pass) — and
+    // try_cast on the ~50% non-numeric strings takes the per-row
+    // exception path, the dominant cost here. Catalyst keeps a
+    // Project above a Sort (only pruning is pushed below), so the
+    // try expressions run exactly once, after the narrow raw-column
+    // sort (measured 1.9 → 0.93 s warm at sf0.1).
     Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority")
+      .orderBy($"o_orderkey".asc_nulls_first)
       .select($"o_orderkey",
         round(try_divide($"o_totalprice", $"o_custkey" % 3), 4).as("safe_ratio"),
         expr("try_cast(CASE WHEN o_orderkey % 2 = 0 " +
           "THEN substring(o_orderpriority, 1, 1) " +
           "ELSE o_orderpriority END AS INT)").as("prio_num"))
-      .orderBy($"o_orderkey".asc_nulls_first)
   }
 
   val queries: Map[String, Q] = Map(
