@@ -1526,11 +1526,14 @@ object Text {
       // decreases until fixpoint — one agg, no compare-join. Decimal
       // sum so huge doc_id domains cannot overflow the check.
       val t0 = System.nanoTime()
-      val s = next.agg(sum($"lbl".cast("decimal(38,0)"))).head().getDecimal(0)
+      // a null sum ⇔ zero label rows (empty pair set): that IS the
+      // (empty) fixpoint — converge instead of NPE-ing in BigDecimal
+      val s = Option(next.agg(sum($"lbl".cast("decimal(38,0)"))).head()
+        .getDecimal(0)).map(BigDecimal(_))
       if (sys.props.contains("graft.cc.debug"))
         println(f"[cc] round $rounds%d build ${(t0 - tBody) / 1e9}%.2fs agg ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
-      converged = sumPrev.contains(BigDecimal(s))
-      sumPrev = Some(BigDecimal(s))
+      converged = s.isEmpty || sumPrev == s
+      sumPrev = s
       labels = next
       rounds += 1
     }

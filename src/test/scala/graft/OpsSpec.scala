@@ -297,6 +297,11 @@ class OpsSpec extends SparkSuite with Matchers {
       .as[(Long, Long)].collect().toMap
     (0L to 19L).foreach(v => labels(v) shouldBe 0L)
     Seq(100L, 101L, 102L).foreach(v => labels(v) shouldBe 100L)
+    // empty pair set → empty assignment (regression: the convergence
+    // aggregate's decimal sum is null there; it NPE'd pre-guard)
+    Text.connectedComponents(spark,
+        Seq.empty[(Long, Long)].toDF("da", "db"))
+      .count() shouldBe 0L
   }
 
   test("LSH banded dedup recovers every near-dup pair that shares a band") {

@@ -119,3 +119,55 @@ object SkewPropertySpec extends Properties("graft.skew") {
         .sameElements(norm(fact.join(dim, Seq("k"))))
     }
 }
+
+/** The dedup family's clustering kernel vs a reference union-find:
+  * [[graft.ops.Text.connectedComponents]] (min-label propagation +
+  * pointer jumping, distributed) must assign every node the minimum
+  * id reachable from it on ANY multigraph — duplicate edges, both
+  * orientations of the same edge, self-loops, non-contiguous ids,
+  * chains (the worst case for propagation distance), and the empty
+  * edge set (regression: the convergence aggregate's decimal sum is
+  * null there; BigDecimal(null) NPE'd before the Option guard). The
+  * crafted OpsSpec case pins a 20-hop chain; this property covers the
+  * graph shapes nobody thought to craft. Separate Properties object:
+  * each case runs a full multi-round fixpoint (several Spark jobs),
+  * so the case count is bounded like graft.skew's. */
+object CCPropertySpec extends Properties("graft.cc") {
+  import graft.ops.Text
+  import org.scalacheck.Test
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  // node ids up to 400 with gaps; 0-40 edges drawn with replacement
+  // (dups + self-loops + reversed copies all legal), incl. the empty set
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    pool <- Gen.nonEmptyListOf(Gen.choose(0L, 400L)).map(_.distinct)
+    n <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(n, Gen.zip(Gen.oneOf(pool), Gen.oneOf(pool)))
+  } yield edges
+
+  /** Min-root union-find: every union parents the larger root to the
+    * smaller, so each component's representative is its min id. */
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  property("connectedComponents ≡ min-root union-find on random multigraphs") =
+    forAll(graphGen) { edges =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      val got = Text.connectedComponents(spark, edges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
+    }
+}
