@@ -1347,17 +1347,19 @@ object Text {
     val banded = simhashSigs63(spark, dir)
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
       .withColumn("bv", expr("(simhash >> (bp * 16)) & 65535"))
-    val cand = banded.alias("x")
+    banded.alias("x")
       .join(banded.alias("y"),
         col("x.bp") === col("y.bp") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct() // a pair may collide on several bands
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      // hamming BEFORE the dedup shuffle: it's a function of the pair
+      // (same for every band a pair collides on), and most random
+      // 16-bit band collisions fail ≤3 — filtering map-side means the
+      // distinct only shuffles true near-dup rows, not the collision
+      // fan-out
       .filter($"hamming" <= 3)
-      .select($"da", $"db", $"hamming")
+      .distinct() // a pair may collide on several bands
   }
 
   /** L7 consumer — near-dup CLUSTER ASSIGNMENT: connected components
