@@ -178,6 +178,80 @@ class BucketingSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /** The CDC family's 100 TB layout claim, made code (same doctrine
+    * as the dedup/gram cases above): q_incremental_dedup's scaladoc
+    * asserts "the indexes are exactly the persisted tables a standing
+    * dedup service maintains" — here the digest and band keeper
+    * indexes ARE written bucketed on their probe keys, and the ingest
+    * vet plans with the INDEX SIDE never moving: the only exchanges
+    * are the |batch|-row probe lineage repartitioning to meet each
+    * index's bucketing. That is the property that makes per-ingest
+    * cost |batch|, not |corpus| — the standing index is read in
+    * place, bucket by bucket, run after run. */
+  test("CDC standing indexes bucketed: the vet shuffles only the batch probe, never an index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE off for the plan assertions (see the dedup case above)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      Seq("hash_bkt", "band_bkt").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val d = new java.io.File(wh, t)
+        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+      val (hashIdx, bandIdx) = graft.ops.Text.corpusIndexes(spark, sf)
+      hashIdx.write.mode("overwrite")
+        .bucketBy(8, "dg").sortBy("dg").saveAsTable("hash_bkt")
+      bandIdx.write.mode("overwrite")
+        .bucketBy(8, "band").sortBy("band").saveAsTable("band_bkt")
+
+      // the arrival-path probe against the persisted indexes (merge
+      // hints: at test SF the planner would broadcast the tiny index —
+      // at 100 TB the index is corpus-keyed and SMJ is what fires)
+      val batch = graft.ops.Text.bandProject(
+        Tables.documents(spark, sf).filter(pmod($"doc_id", lit(10L)) === 9))
+      val vet = graft.ops.Text.vetBatch(batch,
+        spark.table("hash_bkt").hint("merge"),
+        spark.table("band_bkt").hint("merge"))
+
+      val plan = vet.queryExecution.executedPlan
+      plan.toString should include("SortMergeJoin")
+      plan.toString should include("Bucketed: true")
+      // exactly the two probe-lineage repartitions (dg, then band) —
+      // the second's subtree legitimately CONTAINS the first join, so
+      // "no bucketed scan under any exchange" would be too strong
+      plan.collect { case e: ShuffleExchangeLike => e } should have size 2
+      // the real layout claim: each index's bucketed scan feeds its
+      // OWN merge join side with no exchange en route — the standing
+      // table is read in place, bucket by bucket
+      def directBucketedSide(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[String] = p match {
+        case s: FileSourceScanExec if s.bucketedScan =>
+          s.tableIdentifier.map(_.table)
+        case _: ShuffleExchangeLike => None
+        case _ if p.children.size == 1 => directBucketedSide(p.children.head)
+        case _ => None
+      }
+      val inPlaceSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right).flatMap(directBucketedSide)
+      }.flatten.sorted
+      inPlaceSides shouldBe Seq("band_bkt", "hash_bkt")
+
+      // value parity with the registry query's (unhinted) plan
+      def norm(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))
+      val got = vet.collect().map(norm).sorted
+      val direct = graft.ops.Text.queries("q_incremental_dedup")(spark, sf)
+        .collect().map(norm).sorted
+      got shouldBe direct
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** §4.3 runtime row-level filtering: when a shuffle join's build
     * side carries a selective predicate, Catalyst injects a bloom
     * filter built from the dim keys INTO THE FACT SCAN — at 100 TB
