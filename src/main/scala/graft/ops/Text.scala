@@ -477,6 +477,34 @@ object Text {
       .orderBy($"lang".asc_nulls_first)
   }
 
+  /** L75 — tokenizer INDUCTION statistics: the first BPE merge
+    * round's candidate table — adjacent character-pair frequencies
+    * over the corpus, weighted by word frequency (a pair occurring
+    * twice inside one word counts twice per word occurrence, the
+    * standard BPE count; companion to qTokenFertility's calibration
+    * of an EXISTING tokenizer). Computed at VOCABULARY grain: the
+    * only corpus-scale work is the map-side-combinable word count;
+    * the pair explode runs over DISTINCT words (|vocab|·avg_len rows,
+    * negligible next to the corpus scan at 100 TB), so
+    * tokenizer-training stats cost no more than a token-frequency
+    * pass. Top-20 by weighted frequency with a pair-lexicographic
+    * tie-break → TakeOrderedAndProject, never a global sort.
+    * All-integer output: zero rounding-tie surface. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    vocab
+      .select($"w", $"n",
+        explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), $"n")
+      .groupBy($"pair").agg(sum($"n").as("freq"))
+      .orderBy($"freq".desc_nulls_last, $"pair".asc_nulls_first)
+      .limit(20)
+  }
+
   /** [EXT] document fingerprint: sha2 of the sorted distinct token
     * bag — canonical content identity robust to token order (the
     * rolling-hash family's batch cousin; pairs with q_exact_dedup
@@ -1851,6 +1879,7 @@ object Text {
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_token_fertility" -> (qTokenFertility _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_fingerprint" -> (qFingerprint _),
     "q_near_dup" -> (qNearDup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -2178,6 +2207,21 @@ object Text {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+        |  FROM vocab, unnest(range(1, length(w))) AS t(i))
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+        |FROM pairs
+        |GROUP BY pair
+        |ORDER BY freq DESC NULLS LAST, pair ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  sha256(array_to_string(
