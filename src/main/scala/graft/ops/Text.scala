@@ -1115,6 +1115,54 @@ object Text {
           .when(col("first_band") < col("doc_id"), col("first_band"))
           .as("dup_of"))
 
+  /** One tick of the standing ingest-vet loop — the foreachBatch body
+    * a dedup service runs at 100 TB (IncrementalIndexSpec drives it
+    * live): read the signature index fresh, vet the arriving batch
+    * through the full lattice ([[vetBatchIntra]] — corpus precedence,
+    * then first-occurrence-wins inside the batch), and write the
+    * admitted docs' signatures back. The write-back is IDEMPOTENT
+    * under micro-batch replay: foreachBatch delivers at-least-once
+    * after a crash, so the keeps land at a batchId-KEYED file name
+    * via stage-then-rename — the reference's commit-by-rename
+    * protocol (convert.sh:53-54,108-117) applied to index
+    * maintenance — and replaying batch N rewrites the same file with
+    * the same rows instead of appending a duplicate part. Two replay
+    * hazards are closed explicitly: (a) the index read EXCLUDES the
+    * batch's own ingest_<id> file (`_metadata.file_name`) — without
+    * it, a replay after a crashed-but-committed attempt would see its
+    * own keeps in the index, verdict them drop_exact, and overwrite
+    * the file with nothing, silently LOSING them; (b) staging is
+    * dot-prefixed, which parquet reads ignore. The vet is
+    * deterministic given the pre-batch index, so replayed verdicts
+    * are byte-identical. Returns the verdict frame
+    * (localCheckpoint-backed — consuming it never re-runs the vet). */
+  private[graft] def ingestTick(spark: SparkSession, idxDir: String,
+                                batch: DataFrame, batchId: Long): DataFrame = {
+    import spark.implicits._
+    val ownFile = s"ingest_$batchId.parquet"
+    val idx = spark.read.parquet(idxDir)
+      .withColumn("__f", col("_metadata.file_name"))
+      .filter($"__f" =!= ownFile).drop("__f")
+    val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
+    val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
+    val sigs = bandProject(batch).localCheckpoint()
+    val verdicts = vetBatchIntra(sigs, hashIdx, bandIdx).localCheckpoint()
+    val kept = verdicts.filter($"verdict" === "keep").select($"new_doc")
+    val keptSigs = sigs.join(kept, sigs("doc_id") === kept("new_doc"), "left_semi")
+    val root = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, s".staging_$batchId")
+    keptSigs.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(root, ownFile)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(p, dst)
+      }
+    fs.delete(staging, true)
+    verdicts
+  }
+
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,
     * strongest verdict wins (byte identity > band collision > keep).

@@ -67,19 +67,12 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
       .writeStream
       .option("checkpointLocation", root.resolve("ck").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // fresh index read PER BATCH — this is the point of the test
-        val idx = spark.read.parquet(idxDir)
-        val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
-        val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
-        val sigs = graft.ops.Text.bandProject(batch).localCheckpoint()
-        val out = graft.ops.Text.vetBatch(sigs, hashIdx, bandIdx)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the production tick: fresh index read per batch, full vet,
+        // idempotent batchId-keyed write-back
+        val out = graft.ops.Text.ingestTick(spark, idxDir, batch, id)
           .as[(Long, String, Option[Long])].collect().sortBy(_._1)
         verdicts.synchronized { verdicts ++= out }
-        val kept = out.filter(_._2 == "keep").map(_._1)
-        if (kept.nonEmpty)
-          sigs.filter($"doc_id".isin(kept: _*))
-            .write.mode("append").parquet(idxDir)
         ()
       }
       .start()
@@ -137,18 +130,10 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
       .writeStream
       .option("checkpointLocation", root.resolve("ck").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val idx = spark.read.parquet(idxDir)
-        val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
-        val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
-        val sigs = graft.ops.Text.bandProject(batch).localCheckpoint()
-        val out = graft.ops.Text.vetBatchIntra(sigs, hashIdx, bandIdx)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val out = graft.ops.Text.ingestTick(spark, idxDir, batch, id)
           .as[(Long, String, Option[Long])].collect().sortBy(_._1)
         verdicts.synchronized { verdicts ++= out }
-        val kept = out.filter(_._2 == "keep").map(_._1)
-        if (kept.nonEmpty)
-          sigs.filter($"doc_id".isin(kept: _*))
-            .write.mode("append").parquet(idxDir)
         ()
       }
       .start()
@@ -163,5 +148,44 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
     // exactly one row of the near-dup pair entered the index
     spark.read.parquet(idxDir)
       .filter($"doc_id".isin(9L, 19L)).count() shouldBe 1L
+  }
+
+  test("replayed micro-batch is idempotent: same verdicts, index unchanged") {
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc3")
+    val idxDir = root.resolve("sig_index").toString
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.ops.Text.bandProject(corpus)
+      .write.mode("overwrite").parquet(idxDir)
+
+    val batch = Seq(
+      (9L, "foo bar baz quux"),           // new → keep
+      (29L, "alpha  beta gamma delta"))   // corpus near-dup → drop
+      .toDF("doc_id", "text")
+
+    def tick() = graft.ops.Text.ingestTick(spark, idxDir, batch, 7L)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    def indexRows() = spark.read.parquet(idxDir)
+      .as[(Long, String, String)].collect().sorted.toSeq
+
+    val first = tick()
+    first shouldBe Seq((9L, "keep", None), (29L, "drop_near", Some(1L)))
+    val idxAfterFirst = indexRows()
+    idxAfterFirst.map(_._1) should contain(9L)
+
+    // the crash-replay: foreachBatch re-delivers batch 7 AFTER its
+    // write-back already committed. The vet must NOT see its own
+    // keeps (else 9 would verdict drop_exact and the overwrite would
+    // silently lose it) and the index must end byte-identical.
+    val replay = tick()
+    replay shouldBe first
+    indexRows() shouldBe idxAfterFirst
+
+    // a LATER batch then sees batch 7's admission as a standing row
+    val next = Seq((19L, "foo  bar baz quux")).toDF("doc_id", "text")
+    graft.ops.Text.ingestTick(spark, idxDir, next, 8L)
+      .as[(Long, String, Option[Long])].collect().toSeq shouldBe
+      Seq((19L, "drop_near", Some(9L)))
   }
 }
