@@ -171,3 +171,81 @@ object CCPropertySpec extends Properties("graft.cc") {
       got == unionFind(edges)
     }
 }
+
+/** The ingest-vet verdict lattice vs a plain-Scala reference:
+  * [[graft.ops.Text.vetBatchIntra]] (two corpus-index probes + two
+  * batch-keyed window mins + the precedence chain) must agree with
+  * the lattice written out naively — corpus digest hit > corpus band
+  * hit > earlier batch doc with the same digest > earlier batch doc
+  * with the same band > keep, dup_of = the winning keeper — on
+  * generated corpora/batches drawn from a text pool engineered so
+  * every collision class actually occurs (exact copies share a
+  * digest; spacing variants share a token stream — same band,
+  * different digest). Hashes come from the production
+  * [[graft.ops.Text.bandProject]] on both sides, so this pins the
+  * LATTICE, not the hashing. Bounded like graft.skew (Spark jobs per
+  * case). */
+object VetLatticePropertySpec extends Properties("graft.vet") {
+  import graft.ops.Text
+  import org.scalacheck.Test
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val pool = Seq(
+    "foo bar baz", "foo  bar baz", "foo bar  baz", // near-dup trio
+    "alpha beta", "alpha  beta",                   // near-dup pair
+    "unique one thing", "other text entirely")
+
+  // distinct ids over a gappy domain, split corpus/batch (batch ≥ 1)
+  private val caseGen: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      nC <- Gen.choose(0, 6)
+      nB <- Gen.choose(1, 6)
+      ids <- Gen.listOfN(nC + nB, Gen.choose(0L, 500L)).map(_.distinct)
+      txts <- Gen.listOfN(ids.size, Gen.oneOf(pool))
+    } yield {
+      val docs = ids.zip(txts)
+      val (c, b) = docs.splitAt(math.min(nC, docs.size - 1))
+      (c.toList, b.toList)
+    }
+
+  private def refVet(batch: Seq[(Long, String, String)],
+                     dgIdx: Map[String, Long],
+                     bandIdx: Map[String, Long]) = {
+    val firstDg = batch.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).min }
+    val firstBand = batch.groupBy(_._3).map { case (k, v) => k -> v.map(_._1).min }
+    batch.map { case (id, dg, band) =>
+      if (dgIdx.contains(dg)) (id, "drop_exact", Some(dgIdx(dg)))
+      else if (bandIdx.contains(band)) (id, "drop_near", Some(bandIdx(band)))
+      else if (firstDg(dg) < id) (id, "drop_batch_exact", Some(firstDg(dg)))
+      else if (firstBand(band) < id) (id, "drop_batch_near", Some(firstBand(band)))
+      else (id, "keep", None)
+    }
+  }
+
+  property("vetBatchIntra ≡ the naive lattice on generated collisions") =
+    forAll(caseGen) { case (corpus, batch) =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      def sigsOf(docs: List[(Long, String)]): Seq[(Long, String, String)] =
+        if (docs.isEmpty) Seq.empty
+        else Text.bandProject(docs.toDF("doc_id", "text"))
+          .as[(Long, String, String)].collect().toSeq
+      val corpusSigs = sigsOf(corpus)
+      val batchSigs = sigsOf(batch)
+      val dgIdx = corpusSigs.groupBy(_._2)
+        .map { case (k, v) => k -> v.map(_._1).min }
+      val bandIdx = corpusSigs.groupBy(_._3)
+        .map { case (k, v) => k -> v.map(_._1).min }
+      val expected = refVet(batchSigs, dgIdx, bandIdx).sortBy(_._1)
+      val got = Text.vetBatchIntra(
+          batchSigs.toDF("doc_id", "dg", "band"),
+          dgIdx.toSeq.toDF("dg", "exact_of"),
+          bandIdx.toSeq.toDF("band", "near_of"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(_._1).toSeq
+      got == expected
+    }
+}
