@@ -1125,24 +1125,29 @@ object Text {
     * after a crash, so the keeps land at a batchId-KEYED file name
     * via stage-then-rename — the reference's commit-by-rename
     * protocol (convert.sh:53-54,108-117) applied to index
-    * maintenance — and replaying batch N rewrites the same file with
-    * the same rows instead of appending a duplicate part. Two replay
-    * hazards are closed explicitly: (a) the index read EXCLUDES the
-    * batch's own ingest_<id> file (`_metadata.file_name`) — without
-    * it, a replay after a crashed-but-committed attempt would see its
-    * own keeps in the index, verdict them drop_exact, and overwrite
-    * the file with nothing, silently LOSING them; (b) staging is
-    * dot-prefixed, which parquet reads ignore. The vet is
+    * maintenance — and replaying batch N rewrites the same directory
+    * with the same rows instead of appending a duplicate part. Two
+    * replay hazards are closed explicitly: (a) the index read
+    * EXCLUDES the batch's own ingest_<id> directory
+    * (`_metadata.file_path`) — without it, a replay after a
+    * crashed-but-committed attempt would see its own keeps in the
+    * index, verdict them drop_exact, and overwrite the directory with
+    * nothing, silently LOSING them; (b) staging is dot-prefixed,
+    * which parquet reads ignore. The vet is
     * deterministic given the pre-batch index, so replayed verdicts
     * are byte-identical. Returns the verdict frame
     * (localCheckpoint-backed — consuming it never re-runs the vet). */
   private[graft] def ingestTick(spark: SparkSession, idxDir: String,
                                 batch: DataFrame, batchId: Long): DataFrame = {
     import spark.implicits._
-    val ownFile = s"ingest_$batchId.parquet"
-    val idx = spark.read.parquet(idxDir)
-      .withColumn("__f", col("_metadata.file_name"))
-      .filter($"__f" =!= ownFile).drop("__f")
+    val ownDir = s"ingest_$batchId"
+    // recursive read: the index is the seed files plus one DIRECTORY
+    // per committed ingest (a directory, not a coalesce(1) file — a
+    // batch's keeps write with natural parallelism, so per-ingest
+    // cost stays |batch| even when a batch is a corpus-scale backfill)
+    val idx = readIndex(spark, idxDir)
+      .withColumn("__p", col("_metadata.file_path"))
+      .filter(!$"__p".contains(s"/$ownDir/")).drop("__p")
     val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
     val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
     val sigs = bandProject(batch).localCheckpoint()
@@ -1152,16 +1157,23 @@ object Text {
     val root = new org.apache.hadoop.fs.Path(idxDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(root, s".staging_$batchId")
-    keptSigs.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    fs.listStatus(staging).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).foreach { p =>
-        val dst = new org.apache.hadoop.fs.Path(root, ownFile)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(p, dst)
-      }
-    fs.delete(staging, true)
+    keptSigs.write.mode("overwrite").parquet(staging.toString)
+    // commit = delete-then-rename of the whole directory: the loop is
+    // single-writer (batch N+1 only starts after N's commit), so the
+    // delete→rename window has no concurrent reader; a crash anywhere
+    // in it just replays the stage+commit with identical content
+    val dst = new org.apache.hadoop.fs.Path(root, ownDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(staging, dst)
     verdicts
   }
+
+  /** The standing signature index as a frame: seed files at the root
+    * plus one committed directory per ingest. Dot/underscore names
+    * (the in-flight staging dir, _SUCCESS markers) are invisible to
+    * the reader by Spark's hidden-file rule. */
+  private[graft] def readIndex(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(idxDir)
 
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,

@@ -84,7 +84,7 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
       (19L, "drop_near", Some(9L)),    // batch 2: near-dup of batch 1's keep
       (29L, "drop_near", Some(1L)))    // batch 2: near-dup of the seed corpus
     // the admitted doc's signature row is durably in the index
-    spark.read.parquet(idxDir).filter($"doc_id" === 9L).count() shouldBe 1L
+    graft.ops.Text.readIndex(spark, idxDir).filter($"doc_id" === 9L).count() shouldBe 1L
   }
 
   test("full service vet: intra-batch lattice + write-back in one loop") {
@@ -146,7 +146,7 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
       (29L, "drop_near", Some(1L)),
       (39L, "drop_near", Some(9L)))       // vs batch 1's single admission
     // exactly one row of the near-dup pair entered the index
-    spark.read.parquet(idxDir)
+    graft.ops.Text.readIndex(spark, idxDir)
       .filter($"doc_id".isin(9L, 19L)).count() shouldBe 1L
   }
 
@@ -166,7 +166,7 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
 
     def tick() = graft.ops.Text.ingestTick(spark, idxDir, batch, 7L)
       .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
-    def indexRows() = spark.read.parquet(idxDir)
+    def indexRows() = graft.ops.Text.readIndex(spark, idxDir)
       .as[(Long, String, String)].collect().sorted.toSeq
 
     val first = tick()
