@@ -1175,6 +1175,40 @@ object Text {
   private[graft] def readIndex(spark: SparkSession, idxDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(idxDir)
 
+  /** Compact the standing index: fold the seed files and every
+    * committed ingest directory into ONE generation directory — the
+    * small-files maintenance a per-ingest layout needs at 100 TB
+    * (thousands of daily directories otherwise accumulate footer and
+    * listing cost on every tick). Crash-safe WITHOUT a transaction,
+    * by an argument specific to this table's consumers: every read is
+    * a keeper lookup (groupBy MIN over dg/band), and min is
+    * idempotent under row duplication — so the compacted generation
+    * is committed FIRST (stage → rename, same protocol as
+    * [[ingestTick]]) and the old files swept AFTER. A crash anywhere
+    * in the sweep leaves duplicate rows that change NO verdict; the
+    * next compaction removes them. Runs between ticks (the loop is
+    * single-writer, like the reference's lock-gated convert;
+    * convert.sh:20). */
+  private[graft] def compactIndex(spark: SparkSession, idxDir: String,
+                                  gen: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val genName = s"gen_$gen"
+    val staging = new org.apache.hadoop.fs.Path(root, s".staging_$genName")
+    // the staging write READS the old files, so they must survive
+    // until the rename; nothing is deleted before the new generation
+    // is durably committed
+    readIndex(spark, idxDir).write.mode("overwrite").parquet(staging.toString)
+    val dst = new org.apache.hadoop.fs.Path(root, genName)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(staging, dst)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n != genName && !n.startsWith(".") && !n.startsWith("_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** The verdict lattice shared by the batch query and the streaming
     * parity run: each incoming doc left-probes both corpus indexes,
     * strongest verdict wins (byte identity > band collision > keep).

@@ -188,4 +188,50 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
       .as[(Long, String, Option[Long])].collect().toSeq shouldBe
       Seq((19L, "drop_near", Some(9L)))
   }
+
+  test("compaction folds generations; a crashed sweep's leftovers change no verdict") {
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc4")
+    val idxDir = root.resolve("sig_index").toString
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    graft.ops.Text.bandProject(corpus)
+      .write.mode("overwrite").parquet(idxDir)
+
+    // two ingests accumulate two committed directories
+    graft.ops.Text.ingestTick(spark, idxDir,
+      Seq((9L, "foo bar baz quux")).toDF("doc_id", "text"), 1L).count()
+    graft.ops.Text.ingestTick(spark, idxDir,
+      Seq((15L, "unique new content")).toDF("doc_id", "text"), 2L).count()
+
+    def probe() = graft.ops.Text.ingestTick(spark, idxDir,
+        Seq((90L, "foo  bar baz quux"),      // near-dup of ingest 1's keep
+            (91L, "alpha  beta gamma delta") // near-dup of the seed
+        ).toDF("doc_id", "text"), 99L)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    def rootEntries() = {
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+        .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    }
+
+    val before = probe()
+    before.map(_._2) shouldBe Seq("drop_near", "drop_near")
+
+    graft.ops.Text.compactIndex(spark, idxDir, 1L)
+    // one generation directory left (plus the probe tick's own dir)
+    rootEntries().filterNot(_ == "ingest_99") shouldBe Seq("gen_1")
+    probe() shouldBe before
+
+    // crashed-sweep simulation: a leftover duplicate of the seed rows
+    // survives next to the generation — min-keeper lookups are
+    // idempotent under duplication, so verdicts must not move, and
+    // the NEXT compaction removes the leftover
+    graft.ops.Text.bandProject(corpus).write.mode("append").parquet(idxDir)
+    probe() shouldBe before
+    graft.ops.Text.compactIndex(spark, idxDir, 2L)
+    rootEntries().filterNot(_ == "ingest_99") shouldBe Seq("gen_2")
+    probe() shouldBe before
+  }
 }
