@@ -1188,7 +1188,11 @@ object Text {
     * in the sweep leaves duplicate rows that change NO verdict; the
     * next compaction removes them. Runs between ticks (the loop is
     * single-writer, like the reference's lock-gated convert;
-    * convert.sh:20). */
+    * convert.sh:20) — and only at a QUIESCED checkpoint: folding an
+    * ingest whose stream batch has not yet committed would move its
+    * keeps into the generation, where a replay's own-directory
+    * exclusion ([[ingestTick]] hazard (a)) can no longer hide them
+    * from the re-vet. */
   private[graft] def compactIndex(spark: SparkSession, idxDir: String,
                                   gen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(idxDir)
