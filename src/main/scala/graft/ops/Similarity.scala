@@ -554,7 +554,127 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first)
   }
 
+  /** Shared PQ geometry: 64-dim vectors split into 4 subspaces of 16
+    * dims; the codebook is training-free — the 16 lowest-vec_id
+    * vectors donate their subvectors as codewords (the same
+    * deterministic-seed doctrine as kmeansSse; a production build
+    * would run per-subspace Lloyd's, which kmeansSse already
+    * demonstrates, but a deterministic exemplar codebook keeps the
+    * oracle engine-exact). Returns (vec_id, sub, sv) subvector rows
+    * and the 64-row (code, sub, cv) codebook. */
+  private def pqParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val subs = withVec(Tables.embeddings(spark, dir))
+      .select($"vec_id", explode(expr(
+        "transform(sequence(0, 3), s -> " +
+          "struct(CAST(s AS BIGINT) AS sub, slice(vec, s*16+1, 16) AS sv))"))
+        .as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.sv".as("sv"))
+    val cb = subs.filter($"vec_id" < 16)
+      .select($"vec_id".as("code"), $"sub".as("c_sub"), $"sv".as("cv"))
+    (subs, cb)
+  }
+
+  /** Per-subspace nearest-codeword assignment: corpus subvectors ×
+    * BROADCAST 64-row codebook (bounded by the index parameters m×k,
+    * never corpus size), squared distance via the graft_dot identity,
+    * argmin with (dist, code) tie-break — one hash-agg, no window
+    * over the corpus. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def d(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+    subs.join(broadcast(cb), col("sub") === col("c_sub"))
+      .withColumn("rawd",
+        d("sv", "sv") - lit(2.0) * d("sv", "cv") + d("cv", "cv"))
+      .withColumn("dist", round(col("rawd"), 4) + lit(0.0))
+      .groupBy(col("vec_id"), col("sub"))
+      // (dist, code) is already unique per group (one row per codeword),
+      // so rawd rides along without ever deciding the argmin
+      .agg(min(struct(col("dist"), col("code"), col("rawd"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.code").as("code"), col("m.dist").as("dist"),
+        col("m.rawd").as("rawd"))
+  }
+
+  /** L76 — product-quantization code build + occupancy audit: THE
+    * 100 TB ANN compression path (IVF prunes the scan; PQ shrinks
+    * the residency — 64 float dims become m=4 one-byte codes, 64×
+    * smaller, and ADC serving never touches raw vectors). Output is
+    * the (sub, code) occupancy histogram with summed quantization
+    * error — the "is my codebook balanced / is any codeword dead"
+    * audit run after every codebook build. The error statistic sums
+    * the RAW (unrounded) winner distances and quantizes ONCE at the
+    * aggregate to integer 1e-2 units via the bare-round BIGINT gate
+    * (the blessed floor-scaled pattern): summing per-row 4dp-rounded
+    * values instead puts every row on a half-grid boundary — tiecheck
+    * flagged exactly one such row at sf0.1 — while a raw-sum lands on
+    * an arbitrary real, never systematically on the grid. Plan: one
+    * broadcast hash join ×16 fan-out + two hash-aggs; no shuffle
+    * carries vectors wider than 16 doubles; output ≤ m·k = 64 rows at
+    * any corpus size. */
+  def qPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (subs, cb) = pqParts(spark, dir)
+    pqAssign(subs, cb)
+      .groupBy($"sub", $"code")
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum($"rawd") * 100).cast("long").as("err_u2"))
+      .orderBy($"sub".asc_nulls_first, $"code".asc_nulls_first)
+  }
+
+  /** L77 — PQ ADC recall eval: recall@3 of asymmetric-distance
+    * serving (query stays exact; corpus is m one-byte codes; distance
+    * = Σ_sub LUT[sub, code] from a per-query 64-entry lookup table)
+    * against exact L2 ground truth — the eval that decides whether a
+    * codebook's distortion is safe to ship, run over a sampled query
+    * set exactly like q_ann_recall. The ADC side is the REAL serving
+    * shape: the m·k LUT (320 rows here) broadcasts and the corpus
+    * code table joins it on the EQUI key (sub, code) — a full scan
+    * of 4-byte codes, never of vectors. The exact side is the
+    * admitted eval-only broadcast-query BNLJ. ADC sums are 4
+    * already-4dp-quantized terms — re-rounded once so both engines
+    * rank identical doubles; ranks tie-break on c_id. */
+  def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (subs, cb) = pqParts(spark, dir)
+    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+    def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
+    val lut = subs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))
+      .join(broadcast(cb), $"q_sub" === $"c_sub")
+      .withColumn("ld", round(
+        d("qsv", "qsv") - lit(2.0) * d("qsv", "cv") + d("cv", "cv"), 4)
+        + lit(0.0))
+      .select($"q_id", $"q_sub".as("sub"), $"code", $"ld")
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id".as("c_id"))
+      .agg((round(sum($"ld"), 4) + lit(0.0)).as("adc"))
+    val base = withVec(Tables.embeddings(spark, dir))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"vec".as("qv"))
+    val exact = base.select($"vec_id".as("c_id"), $"vec".as("cvec"))
+      .join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("ed", round(
+        d("cvec", "cvec") - lit(2.0) * d("qv", "cvec") + d("qv", "qv"), 4)
+        + lit(0.0))
+    val wE = Window.partitionBy($"q_id").orderBy($"ed".asc, $"c_id".asc)
+    val wA = Window.partitionBy($"q_id").orderBy($"adc".asc, $"c_id".asc)
+    val topE = exact.withColumn("r", row_number().over(wE))
+      .filter($"r" <= 3).select($"q_id", $"c_id")
+    val topA = adc.withColumn("r", row_number().over(wA))
+      .filter($"r" <= 3).select($"q_id", $"c_id", lit(1L).as("hit"))
+    topE.join(topA, Seq("q_id", "c_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .withColumn("recall_at_3", round($"n_hits" / lit(3.0), 4))
+      .orderBy($"q_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pq_codes" -> (qPqCodes _),
+    "q_pq_recall" -> (qPqRecall _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_cos_hist" -> (qCosHist _),
     "q_assign_purity" -> (qAssignPurity _),
@@ -881,6 +1001,78 @@ object Similarity {
         |FROM pe
         |GROUP BY label, pos
         |ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin,
+    "q_pq_codes" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS BIGINT) AS sub,
+        |    i, x FROM pe),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS c
+        |  FROM sv WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, c.code,
+        |    sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c) AS rawd,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS dist
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  GROUP BY s.vec_id, s.sub, c.code),
+        |a AS (SELECT vec_id, sub, code, rawd FROM (
+        |    SELECT vec_id, sub, code, rawd, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rnk
+        |    FROM d) WHERE rnk = 1)
+        |SELECT sub, code, count(*) AS n_assigned,
+        |  CAST(round(sum(rawd) * 100) AS BIGINT) AS err_u2
+        |FROM a GROUP BY sub, code
+        |ORDER BY sub ASC NULLS FIRST, code ASC NULLS FIRST""".stripMargin,
+    "q_pq_recall" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS BIGINT) AS sub,
+        |    i, x FROM pe),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS c
+        |  FROM sv WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, c.code,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS dist
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  GROUP BY s.vec_id, s.sub, c.code),
+        |a AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS ld
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  WHERE s.vec_id < 5 GROUP BY s.vec_id, s.sub, c.code),
+        |adc AS (SELECT l.q_id, a.vec_id AS c_id,
+        |    round(sum(l.ld), 4) + 0.0 AS adc
+        |  FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+        |  WHERE a.vec_id <> l.q_id GROUP BY l.q_id, a.vec_id),
+        |ta AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS r
+        |    FROM adc) WHERE r <= 3),
+        |ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(sum(c.x * c.x) - 2 * sum(q.x * c.x) + sum(q.x * q.x), 4)
+        |      + 0.0 AS ed
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |te AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY ed ASC, c_id ASC) AS r
+        |    FROM ex) WHERE r <= 3)
+        |SELECT te.q_id,
+        |  CAST(sum(CASE WHEN ta.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(sum(CASE WHEN ta.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / 3.0, 4) AS recall_at_3
+        |FROM te LEFT JOIN ta ON te.q_id = ta.q_id AND te.c_id = ta.c_id
+        |GROUP BY te.q_id
+        |ORDER BY te.q_id ASC NULLS FIRST""".stripMargin,
     "q_ann_upsert" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

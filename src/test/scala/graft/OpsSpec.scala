@@ -78,9 +78,12 @@ class OpsSpec extends SparkSuite with Matchers {
         Some(name) else None
     }
     // broadcast query set × corpus, by design: the exact-cosine path
-    // and the two EVALs that need exact ground truth (recall@k, kNN
-    // label classification) — sampled query sets, never serving paths
-    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk", "q_knn_classify")
+    // and the three EVALs that need exact ground truth (recall@k, kNN
+    // label classification, PQ ADC recall) — sampled query sets,
+    // never serving paths (q_pq_recall's SERVING side is the equi
+    // (sub, code) LUT join; only its ground-truth side is a BNLJ)
+    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk", "q_knn_classify",
+      "q_pq_recall")
   }
 
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
@@ -258,7 +261,11 @@ class OpsSpec extends SparkSuite with Matchers {
       // q_ann_upsert broadcasts the standing index's k-row centroid
       // table (bounded by the IVF cell-count parameter, not the
       // corpus) — same class as q_ann_multiprobe's centroid hint
-      "q_ann_upsert")
+      "q_ann_upsert",
+      // PQ family: the m·k=64-row codebook and the query-set×codebook
+      // LUT (320 rows) — both bounded by index parameters, never by
+      // corpus size
+      "q_pq_codes", "q_pq_recall")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

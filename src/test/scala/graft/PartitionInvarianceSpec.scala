@@ -60,7 +60,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_token_entropy",   // integer-term c·ln c sums (r8 rewrite)
     "q_budget_sample",   // remainder-rank seats + sha-rank selection
     "q_dup_spans",       // islands over gram-match windows + run-rank pick
-    "q_dedup_modality")  // flag lattice over digest/band/pair memberships
+    "q_dedup_modality",  // flag lattice over digest/band/pair memberships
+    "q_pq_codes",        // per-subspace argmin codeword ties
+    "q_pq_recall")       // ADC vs exact rank ties under rounded dists
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
