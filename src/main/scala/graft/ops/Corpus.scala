@@ -915,7 +915,66 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L78 — CDC batch drift monitor: per source, how far the ARRIVING
+    * batch's token distribution has drifted from the STANDING corpus
+    * — the alarm an incremental
+    * ingest loop (Text.ingestTick) watches so a source whose content
+    * shifted under it is caught at arrival time, not at the next full
+    * retrain. Unlike q_kl_divergence (source vs the corpus that
+    * CONTAINS it — denominators never zero), batch and standing are
+    * disjoint, so an unseen batch token would hit ln(p/0); the
+    * standing distribution is Laplace-smoothed over the per-source
+    * union vocabulary: q(t) = (c_std+1)/(n_std+V). Also reports the
+    * count and probability mass of batch tokens never seen in the
+    * standing corpus — the "new vocabulary" drift signal smoothing
+    * alone would bury.
+    *
+    * Batch slice = doc_id % 7 = 3, NOT the dedup family's % 10 = 9:
+    * the synthetic corpus assigns source = doc_id % 20, so any
+    * mod-10 slice aliases onto exactly two sources and leaves them
+    * with ZERO standing mass — a degenerate monitor. 7 is coprime to
+    * 20, so every source keeps both a batch and a standing slice
+    * (drift is per-source by nature; dedup keys on content and never
+    * cared).
+    *
+    * Plan shape: one token shuffle into a (source, tok) full-outer
+    * merge of the two count tables, a #sources-row total agg joined
+    * back UNHINTED on source (corpus-derived — never hint-broadcast
+    * by doctrine), one final per-source sum. Shuffles carry (source,
+    * token, count) — never bodies; every probability is a ratio of
+    * exact longs; the only float is ln and the final sum, rounded at
+    * 6 (q_kl_divergence's accepted surface). */
+  def qBatchDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"source", (pmod($"doc_id", lit(7L)) === 3).as("is_batch"),
+        explode(toks($"text")).as("tok"))
+    val bt = t.filter($"is_batch")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cbn"))
+    val st = t.filter(!$"is_batch")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("csn"))
+    val u = bt.join(st, Seq("source", "tok"), "full_outer")
+      .select($"source", $"tok",
+        coalesce($"cbn", lit(0L)).as("cbn"),
+        coalesce($"csn", lit(0L)).as("csn"))
+    val tot = u.groupBy($"source")
+      .agg(sum($"cbn").as("nb"), sum($"csn").as("ns"),
+        count(lit(1)).as("v"))
+    u.join(tot, "source")
+      .filter($"cbn" > 0)
+      .groupBy($"source")
+      .agg(min($"nb").as("n_batch_tokens"),
+        sum(($"csn" === 0).cast("long")).as("n_new_types"),
+        round(sum(when($"csn" === 0, $"cbn").otherwise(0L)) / min($"nb"), 6)
+          .as("new_mass"),
+        (round(sum(($"cbn" / $"nb") *
+          log(($"cbn" / $"nb") / (($"csn" + 1) / ($"ns" + $"v")))), 6)
+          + lit(0.0)).as("kl_nats"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_batch_drift" -> (qBatchDrift _),
     "q_bigram_entropy" -> (qBigramEntropy _),
     "q_domain_mix" -> (qDomainMix _),
     "q_ppl_bucket" -> (qPplBucket _),
@@ -1029,6 +1088,33 @@ object Corpus {
         |FROM r WHERE rnk <= 100
         |GROUP BY source
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q_batch_drift" ->
+      """WITH t AS (SELECT source, doc_id % 7 = 3 AS is_batch,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |bt AS (SELECT source, tok, count(*) AS cbn
+        |  FROM t WHERE is_batch GROUP BY source, tok),
+        |st AS (SELECT source, tok, count(*) AS csn
+        |  FROM t WHERE NOT is_batch GROUP BY source, tok),
+        |u AS (SELECT coalesce(bt.source, st.source) AS source,
+        |    coalesce(bt.tok, st.tok) AS tok,
+        |    coalesce(cbn, 0) AS cbn, coalesce(csn, 0) AS csn
+        |  FROM bt FULL OUTER JOIN st
+        |    ON bt.source = st.source AND bt.tok = st.tok),
+        |tot AS (SELECT source, CAST(sum(cbn) AS BIGINT) AS nb,
+        |    CAST(sum(csn) AS BIGINT) AS ns, count(*) AS v
+        |  FROM u GROUP BY source)
+        |SELECT u.source, min(nb) AS n_batch_tokens,
+        |  CAST(sum(CASE WHEN csn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_types,
+        |  round(CAST(sum(CASE WHEN csn = 0 THEN cbn ELSE 0 END) AS BIGINT)
+        |    / min(nb), 6) AS new_mass,
+        |  round(sum((cbn / nb) * ln((cbn / nb)
+        |    / ((csn + 1) / (ns + v)))), 6) + 0.0 AS kl_nats
+        |FROM u JOIN tot ON u.source = tot.source
+        |WHERE cbn > 0
+        |GROUP BY u.source
+        |ORDER BY u.source ASC NULLS FIRST""".stripMargin,
     "q_kl_divergence" ->
       """WITH t AS (SELECT source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -17,6 +17,41 @@ class CorpusSpec extends SparkSuite with Matchers {
     write(dir); dir
   }
 
+  test("batch drift: identical distribution -> zero KL; novel tokens -> new-type count, mass, positive KL") {
+    import spark.implicits._
+    val dir = tmpTables("drift") { d =>
+      Seq(
+        // source A: batch (doc_id 3: 3%7=3) token-identical to standing
+        // — Laplace smoothing preserves equal ratios, so KL is EXACTLY 0
+        (0L, "a b c", "srcA"), (1L, "a b c", "srcA"),
+        (2L, "a b c", "srcA"), (3L, "a b c", "srcA"),
+        // source B: standing {x,y}, batch (doc_id 10: 10%7=3) "x z z"
+        // — z is novel: 1 new type carrying 2/3 of the batch mass
+        (7L, "x y", "srcB"), (8L, "x y", "srcB"), (10L, "x z z", "srcB"),
+      ).toDF("doc_id", "text", "source")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val rows = Corpus.qBatchDrift(spark, dir).collect()
+    rows.map(_.getString(0)) shouldBe Array("srcA", "srcB")
+
+    val a = rows(0)
+    a.getLong(1) shouldBe 3L      // n_batch_tokens
+    a.getLong(2) shouldBe 0L      // n_new_types
+    a.getDouble(3) shouldBe 0.0   // new_mass
+    a.getDouble(4) shouldBe 0.0   // kl_nats: p=q=1/3 per token under smoothing
+
+    val b = rows(1)
+    b.getLong(1) shouldBe 3L
+    b.getLong(2) shouldBe 1L           // z unseen in standing
+    b.getDouble(3) shouldBe 0.666667   // round(2/3, 6)
+    // standing counts x:2, y:2 (ns=4), V=3:
+    // p(x)=1/3 vs q(x)=(2+1)/(4+3); p(z)=2/3 vs q(z)=(0+1)/(4+3)
+    val expected = (1.0 / 3) * math.log((1.0 / 3) / (3.0 / 7)) +
+      (2.0 / 3) * math.log((2.0 / 3) / (1.0 / 7))
+    b.getDouble(4) shouldBe (math.rint(expected * 1e6) / 1e6) +- 1e-9
+    b.getDouble(4) should be > 0.0
+  }
+
   test("bigrams: single-token docs contribute nothing (sequence(1,0) guard)") {
     import spark.implicits._
     val dir = tmpTables("bigram") { d =>

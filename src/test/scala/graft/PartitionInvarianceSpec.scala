@@ -62,7 +62,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_dup_spans",       // islands over gram-match windows + run-rank pick
     "q_dedup_modality",  // flag lattice over digest/band/pair memberships
     "q_pq_codes",        // per-subspace argmin codeword ties
-    "q_pq_recall")       // ADC vs exact rank ties under rounded dists
+    "q_pq_recall",       // ADC vs exact rank ties under rounded dists
+    "q_batch_drift")     // smoothed ln-sum accumulation across partitions
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
