@@ -672,7 +672,64 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first)
   }
 
+  /** L79 — IVF-PQ two-stage serving: the composed index every
+    * billion-vector deployment actually runs (cell probe prunes the
+    * scan — q_ann_ivf; PQ codes shrink what the probe touches —
+    * q_pq_codes; a bounded exact re-rank repairs ADC distortion at
+    * the top). Stage 1: within the query's own cell, rank candidates
+    * by ADC distance from the per-query LUT and keep a 10-deep
+    * shortlist. Stage 2: fetch ONLY the shortlist's raw vectors
+    * (≤ 10·|queries| rows — the bounded "refine" read a PQ index
+    * serves from cold storage) and re-rank exactly; emit top-3.
+    *
+    * Plan shape — the whole serving path is equi-joins: candidates =
+    * corpus code table ⋈ BROADCAST (cell, sub, code)-keyed LUT (the
+    * m·k·|queries| rows an index holds per probe), shortlist fetch =
+    * BROADCAST shortlist ⋈ corpus on vec_id. No BNLJ anywhere —
+    * unlike the eval queries, this is the shape that scales: the
+    * only per-candidate state is 4 one-byte codes and the window is
+    * cell-bounded. */
+  def qIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (subs, cb) = pqParts(spark, dir)
+    val base = withVec(Tables.embeddings(spark, dir))
+    val cells = base.select($"vec_id", $"label".as("cell"))
+    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+      .join(cells, "vec_id")
+    def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
+    val lut = subs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))
+      .join(cells.select($"vec_id".as("q_id"), $"cell"), "q_id")
+      .join(broadcast(cb), $"q_sub" === $"c_sub")
+      .withColumn("ld", round(
+        d("qsv", "qsv") - lit(2.0) * d("qsv", "cv") + d("cv", "cv"), 4)
+        + lit(0.0))
+      .select($"q_id", $"cell", $"q_sub".as("sub"), $"code", $"ld")
+    val wS = Window.partitionBy($"q_id").orderBy($"adc".asc, $"c_id".asc)
+    val short = codes.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id".as("c_id"))
+      .agg((round(sum($"ld"), 4) + lit(0.0)).as("adc"))
+      .withColumn("r", row_number().over(wS))
+      .filter($"r" <= 10)
+      .select($"q_id", $"c_id")
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"vec".as("qv"))
+    val wF = Window.partitionBy($"q_id").orderBy($"dist".asc, $"c_id".asc)
+    base.select($"vec_id".as("c_id"), $"vec".as("cvec"))
+      .join(broadcast(short), "c_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("dist", round(
+        d("cvec", "cvec") - lit(2.0) * d("qv", "cvec") + d("qv", "qv"), 4)
+        + lit(0.0))
+      .withColumn("rnk", row_number().over(wF))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"c_id", $"rnk", $"dist")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ivfpq" -> (qIvfPq _),
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_recall" -> (qPqRecall _),
     "q_knn_classify" -> (qKnnClassify _),
@@ -1073,6 +1130,50 @@ object Similarity {
         |FROM te LEFT JOIN ta ON te.q_id = ta.q_id AND te.c_id = ta.c_id
         |GROUP BY te.q_id
         |ORDER BY te.q_id ASC NULLS FIRST""".stripMargin,
+    "q_ivfpq" ->
+      """WITH pe AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id, label,
+        |    CAST(floor((i - 1) / 16) AS BIGINT) AS sub, i, x FROM pe),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS c
+        |  FROM sv WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.label, s.sub, c.code,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS dist
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  GROUP BY s.vec_id, s.label, s.sub, c.code),
+        |a AS (SELECT vec_id, label AS cell, sub, code FROM (
+        |    SELECT vec_id, label, sub, code, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.label AS cell, s.sub, c.code,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS ld
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  WHERE s.vec_id < 5 GROUP BY s.vec_id, s.label, s.sub, c.code),
+        |adc AS (SELECT l.q_id, a.vec_id AS c_id,
+        |    round(sum(l.ld), 4) + 0.0 AS adc
+        |  FROM a JOIN lut l ON a.cell = l.cell AND a.sub = l.sub
+        |    AND a.code = l.code
+        |  WHERE a.vec_id <> l.q_id GROUP BY l.q_id, a.vec_id),
+        |short AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS r
+        |    FROM adc) WHERE r <= 10),
+        |ex AS (SELECT sh.q_id, sh.c_id,
+        |    round(sum(c.x * c.x) - 2 * sum(q.x * c.x) + sum(q.x * q.x), 4)
+        |      + 0.0 AS dist
+        |  FROM short sh
+        |  JOIN pe c ON c.vec_id = sh.c_id
+        |  JOIN pe q ON q.vec_id = sh.q_id AND q.i = c.i
+        |  GROUP BY sh.q_id, sh.c_id)
+        |SELECT q_id, c_id, rnk, dist FROM (
+        |  SELECT q_id, c_id, dist, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rnk
+        |  FROM ex) WHERE rnk <= 3
+        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin,
     "q_ann_upsert" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

@@ -262,10 +262,10 @@ class OpsSpec extends SparkSuite with Matchers {
       // table (bounded by the IVF cell-count parameter, not the
       // corpus) — same class as q_ann_multiprobe's centroid hint
       "q_ann_upsert",
-      // PQ family: the m·k=64-row codebook and the query-set×codebook
-      // LUT (320 rows) — both bounded by index parameters, never by
-      // corpus size
-      "q_pq_codes", "q_pq_recall")
+      // PQ family: the m·k=64-row codebook, the query-set×codebook
+      // LUT (320 rows), and q_ivfpq's 10-deep shortlist — all bounded
+      // by index parameters / probe budget, never by corpus size
+      "q_pq_codes", "q_pq_recall", "q_ivfpq")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -36,6 +36,20 @@ class PQSpec extends SparkSuite with Matchers {
       }
     }
 
+    // IVF-PQ: cells are singletons except cell 3 = {vec 3, vec 16},
+    // so of the five queries only q3 has a cellmate — the cell probe
+    // must confine candidates to the query's own cell, and the exact
+    // re-rank must score the duplicate at distance zero
+    val ivfpq = Similarity.qIvfPq(spark, dir).collect()
+    ivfpq.length shouldBe 1
+    ivfpq(0).getLong(0) shouldBe 3L   // q_id
+    ivfpq(0).getLong(1) shouldBe 16L  // c_id: the exact copy
+    ivfpq(0).getInt(2) shouldBe 1     // rnk
+    ivfpq(0).getDouble(3) shouldBe 0.0
+    // the serving path is equi-joins end to end — no nested loop
+    Similarity.qIvfPq(spark, dir).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin") shouldBe false
+
     val rec = Similarity.qPqRecall(spark, dir).collect()
     rec.map(_.getLong(0)) shouldBe Array(0L, 1L, 2L, 3L, 4L)
     rec.foreach { r =>
