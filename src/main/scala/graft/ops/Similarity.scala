@@ -562,15 +562,23 @@ object Similarity {
     * demonstrates, but a deterministic exemplar codebook keeps the
     * oracle engine-exact). Returns (vec_id, sub, sv) subvector rows
     * and the 64-row (code, sub, cv) codebook. */
-  private def pqParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val subs = withVec(Tables.embeddings(spark, dir))
-      .select($"vec_id", explode(expr(
+  /** Subvector explode alone, factored out so the ARRIVAL path can
+    * run it on a micro-batch: PQ coding of an arriving batch is
+    * pqSubs(batch) ⋈ the STANDING codebook (the persisted index
+    * metadata) — the same stream-static shape as the CDC dedup vet;
+    * StreamBatchParitySpec drives it via foreachBatch. */
+  private[graft] def pqSubs(df: DataFrame): DataFrame =
+    withVec(df)
+      .select(col("vec_id"), explode(expr(
         "transform(sequence(0, 3), s -> " +
           "struct(CAST(s AS BIGINT) AS sub, slice(vec, s*16+1, 16) AS sv))"))
         .as("e"))
-      .select($"vec_id", $"e.sub".as("sub"), $"e.sv".as("sv"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  private def pqParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val subs = pqSubs(Tables.embeddings(spark, dir))
     val cb = subs.filter($"vec_id" < 16)
       .select($"vec_id".as("code"), $"sub".as("c_sub"), $"sv".as("cv"))
     (subs, cb)
@@ -581,7 +589,7 @@ object Similarity {
     * never corpus size), squared distance via the graft_dot identity,
     * argmin with (dist, code) tie-break — one hash-agg, no window
     * over the corpus. */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     def d(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
     subs.join(broadcast(cb), col("sub") === col("c_sub"))

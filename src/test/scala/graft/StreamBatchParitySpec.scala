@@ -134,6 +134,54 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     streamed.size should be > 0
   }
 
+  test("pq code assignment: foreachBatch streaming run == batch run") {
+    import spark.implicits._
+    // the PQ side of the incremental ANN story (companion to
+    // q_ann_upsert's IVF-cell assignment): an arriving batch of
+    // embeddings gets its codes from the STANDING codebook — the
+    // persisted m·k index metadata — via the SAME production
+    // pqSubs/pqAssign pair the batch queries use, so the parity
+    // claim cannot drift from the code it covers. Assignment is
+    // per-vector (no cross-batch state), so per-micro-batch
+    // evaluation is exact, not approximate.
+    val all = Tables.embeddings(spark, sf)
+    val subsAll = graft.ops.Similarity.pqSubs(all)
+    val cb = subsAll.filter($"vec_id" < 16)
+      .select($"vec_id".as("code"), $"sub".as("c_sub"), $"sv".as("cv"))
+      .cache() // the standing index side, reused every micro-batch
+    val batch = graft.ops.Similarity.pqAssign(subsAll, cb)
+      .select($"vec_id", $"sub", $"code")
+      .collect().map(_.toSeq).toSet
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_pq_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      srcDir.resolve("embeddings.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pq_ck").toString
+    val coded = scala.collection.mutable.Set.empty[Seq[Any]]
+    val q = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = graft.ops.Similarity
+          .pqAssign(graft.ops.Similarity.pqSubs(mb), cb)
+          .select("vec_id", "sub", "code")
+          .collect().map(_.toSeq)
+        coded.synchronized { coded ++= out }
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally { q.stop(); cb.unpersist() }
+
+    coded.toSet shouldBe batch
+    coded.size should be > 0
+  }
+
   test("exact-dedup agg: AvailableNow streaming run == batch run") {
     import spark.implicits._
     // q_exact_dedup's core: one aggregation → streamable as-is. THE
