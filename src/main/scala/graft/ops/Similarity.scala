@@ -736,7 +736,54 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
   }
 
+  /** L80 — ADC distortion calibration: per query, the bias and MAE of
+    * the asymmetric PQ distance against exact L2 over the full
+    * candidate set — the calibration an index operator reads BEFORE
+    * trusting q_ivfpq's shortlist depth (a biased-but-tight ADC needs
+    * a shallow refine; a noisy one needs a deeper shortlist). The PQ
+    * mirror of q_est_error's MinHash-estimator calibration. Both
+    * distances stay RAW doubles per pair (engine-identical to ~1e-12
+    * by IEEE); the statistics quantize ONCE at the aggregate to
+    * integer 1e-4 units via the bare-round BIGINT gate — the PLANS.md
+    * r11 rule: per-row rounding is for decisions, never for values an
+    * aggregate sums. Exact side = the admitted eval-only
+    * broadcast-query BNLJ, like the other ground-truth evals. */
+  def qAdcErr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (subs, cb) = pqParts(spark, dir)
+    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+    def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
+    val lut = subs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))
+      .join(broadcast(cb), $"q_sub" === $"c_sub")
+      .withColumn("ld",
+        d("qsv", "qsv") - lit(2.0) * d("qsv", "cv") + d("cv", "cv"))
+      .select($"q_id", $"q_sub".as("sub"), $"code", $"ld")
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id".as("c_id"))
+      .agg(sum($"ld").as("adc"))
+    val base = withVec(Tables.embeddings(spark, dir))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"vec".as("qv"))
+    val exact = base.select($"vec_id".as("c_id"), $"vec".as("cvec"))
+      .join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("ed",
+        d("cvec", "cvec") - lit(2.0) * d("qv", "cvec") + d("qv", "qv"))
+      .select($"q_id", $"c_id", $"ed")
+    adc.join(exact, Seq("q_id", "c_id"))
+      .withColumn("err", $"adc" - $"ed")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"err") / count(lit(1)) * 10000).cast("long")
+          .as("bias_u4"),
+        round(sum(abs($"err")) / count(lit(1)) * 10000).cast("long")
+          .as("mae_u4"))
+      .orderBy($"q_id".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_adc_err" -> (qAdcErr _),
     "q_ivfpq" -> (qIvfPq _),
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_recall" -> (qPqRecall _),
@@ -1138,6 +1185,45 @@ object Similarity {
         |FROM te LEFT JOIN ta ON te.q_id = ta.q_id AND te.c_id = ta.c_id
         |GROUP BY te.q_id
         |ORDER BY te.q_id ASC NULLS FIRST""".stripMargin,
+    "q_adc_err" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS BIGINT) AS sub,
+        |    i, x FROM pe),
+        |cb AS (SELECT vec_id AS code, sub, i, x AS c
+        |  FROM sv WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.sub, c.code,
+        |    sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c) AS rawd,
+        |    round(sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c), 4)
+        |      + 0.0 AS dist
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  GROUP BY s.vec_id, s.sub, c.code),
+        |a AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.sub, c.code,
+        |    sum(s.x * s.x) - 2 * sum(s.x * c.c) + sum(c.c * c.c) AS ld
+        |  FROM sv s JOIN cb c ON s.i = c.i AND s.sub = c.sub
+        |  WHERE s.vec_id < 5 GROUP BY s.vec_id, s.sub, c.code),
+        |adc AS (SELECT l.q_id, a.vec_id AS c_id, sum(l.ld) AS adc
+        |  FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+        |  WHERE a.vec_id <> l.q_id GROUP BY l.q_id, a.vec_id),
+        |ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    sum(c.x * c.x) - 2 * sum(q.x * c.x) + sum(q.x * q.x) AS ed
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |    AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id)
+        |SELECT adc.q_id, count(*) AS n_pairs,
+        |  CAST(round(sum(adc.adc - ex.ed) / count(*) * 10000) AS BIGINT)
+        |    AS bias_u4,
+        |  CAST(round(sum(abs(adc.adc - ex.ed)) / count(*) * 10000)
+        |    AS BIGINT) AS mae_u4
+        |FROM adc JOIN ex ON adc.q_id = ex.q_id AND adc.c_id = ex.c_id
+        |GROUP BY adc.q_id
+        |ORDER BY adc.q_id ASC NULLS FIRST""".stripMargin,
     "q_ivfpq" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

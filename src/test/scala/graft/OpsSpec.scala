@@ -82,8 +82,8 @@ class OpsSpec extends SparkSuite with Matchers {
     // label classification, PQ ADC recall) — sampled query sets,
     // never serving paths (q_pq_recall's SERVING side is the equi
     // (sub, code) LUT join; only its ground-truth side is a BNLJ)
-    bnlj shouldBe Seq("q_ann_recall", "q_cosine_topk", "q_knn_classify",
-      "q_pq_recall")
+    bnlj shouldBe Seq("q_adc_err", "q_ann_recall", "q_cosine_topk",
+      "q_knn_classify", "q_pq_recall")
   }
 
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
@@ -265,7 +265,7 @@ class OpsSpec extends SparkSuite with Matchers {
       // PQ family: the m·k=64-row codebook, the query-set×codebook
       // LUT (320 rows), and q_ivfpq's 10-deep shortlist — all bounded
       // by index parameters / probe budget, never by corpus size
-      "q_pq_codes", "q_pq_recall", "q_ivfpq")
+      "q_pq_codes", "q_pq_recall", "q_ivfpq", "q_adc_err")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -64,7 +64,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_pq_codes",        // per-subspace argmin codeword ties
     "q_pq_recall",       // ADC vs exact rank ties under rounded dists
     "q_batch_drift",     // smoothed ln-sum accumulation across partitions
-    "q_ivfpq")           // ADC shortlist cut + exact re-rank ties
+    "q_ivfpq",           // ADC shortlist cut + exact re-rank ties
+    "q_adc_err")         // raw-double error sums across partitions
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
