@@ -605,6 +605,22 @@ object Similarity {
         col("m.rawd").as("rawd"))
   }
 
+  /** Memoized per (session, dir) like Text.minhashSigs: four PQ
+    * queries (occupancy audit, ADC recall, IVF-PQ serving, ADC
+    * calibration) consume the SAME deterministic assignment table,
+    * so it materializes once per session/input — the "codes are a
+    * persisted intermediate" shape a production PQ index runs (at
+    * 100 TB this is the parquet code table every probe reads).
+    * Deterministic (argmin over rounded dists with a total
+    * tie-break), so reuse can never change a result; Bench/Profile
+    * clear the registry per pass so timings stay honest. */
+  private val pqCache = Text.newMemoCache()
+  private def pqCodesTable(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(pqCache, spark, dir) {
+      val (subs, cb) = pqParts(spark, dir)
+      pqAssign(subs, cb).localCheckpoint(eager = false)
+    }
+
   /** L76 — product-quantization code build + occupancy audit: THE
     * 100 TB ANN compression path (IVF prunes the scan; PQ shrinks
     * the residency — 64 float dims become m=4 one-byte codes, 64×
@@ -623,8 +639,7 @@ object Similarity {
     * any corpus size. */
   def qPqCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (subs, cb) = pqParts(spark, dir)
-    pqAssign(subs, cb)
+    pqCodesTable(spark, dir)
       .groupBy($"sub", $"code")
       .agg(count(lit(1)).as("n_assigned"),
         round(sum($"rawd") * 100).cast("long").as("err_u2"))
@@ -646,7 +661,7 @@ object Similarity {
   def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (subs, cb) = pqParts(spark, dir)
-    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+    val codes = pqCodesTable(spark, dir).select($"vec_id", $"sub", $"code")
     def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
     val lut = subs.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))
@@ -702,7 +717,7 @@ object Similarity {
     val (subs, cb) = pqParts(spark, dir)
     val base = withVec(Tables.embeddings(spark, dir))
     val cells = base.select($"vec_id", $"label".as("cell"))
-    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+    val codes = pqCodesTable(spark, dir).select($"vec_id", $"sub", $"code")
       .join(cells, "vec_id")
     def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
     val lut = subs.filter($"vec_id" < 5)
@@ -751,7 +766,7 @@ object Similarity {
   def qAdcErr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (subs, cb) = pqParts(spark, dir)
-    val codes = pqAssign(subs, cb).select($"vec_id", $"sub", $"code")
+    val codes = pqCodesTable(spark, dir).select($"vec_id", $"sub", $"code")
     def d(a: String, b: String) = expr(s"graft_dot($a, $b)")
     val lut = subs.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))

@@ -264,8 +264,11 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_ann_upsert",
       // PQ family: the m·k=64-row codebook, the query-set×codebook
       // LUT (320 rows), and q_ivfpq's 10-deep shortlist — all bounded
-      // by index parameters / probe budget, never by corpus size
-      "q_pq_codes", "q_pq_recall", "q_ivfpq", "q_adc_err")
+      // by index parameters / probe budget, never by corpus size.
+      // q_pq_codes is NOT here: its only hint (the codebook) sits
+      // inside the memoized assignment table's checkpointed lineage,
+      // so the visible SQL plan is LogicalRDD + aggregation
+      "q_pq_recall", "q_ivfpq", "q_adc_err")
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val hinted = try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
