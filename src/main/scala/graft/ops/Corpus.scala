@@ -154,6 +154,134 @@ object Corpus {
       .orderBy($"doc_id".asc_nulls_first, $"term".asc_nulls_first)
   }
 
+  /** BM25 (Robertson/Lucene variant, k1=1.2 b=0.75) of every corpus
+    * document against each of three query documents (doc_id < 3 —
+    * the query docs' distinct terms ARE the queries, the
+    * more-like-this retrieval shape), memoized per (session, dir)
+    * because two queries consume it (q_bm25's lexical ranking and
+    * q_rrf_fusion's lexical leg). idf = ln(1 + (N−df+0.5)/(df+0.5))
+    * — nonnegative by construction, so low-df terms dominate exactly
+    * as a retrieval stack expects. Plan: the tf table builds once
+    * (explode + hash-agg) and is lazily checkpointed — its THREE
+    * consumers (query-term slice, corpus side, doc-length agg) and
+    * the df agg read the materialized blocks instead of re-running
+    * the scan+explode (the docTokens precedent); corpus stats attach
+    * as a 1-row broadcast scalar; the scoring join is a plain equi
+    * join on the term key (the tf/df tables are corpus-derived —
+    * never hint-broadcast; AQE sizes the strategy). Determinism: w
+    * is a per-(q,doc,term) double built from integer stats with ONE
+    * textually-mirrored operation order, quantized to integer
+    * pico-units per TERM (round-to-int of an identical double —
+    * engine-exact), summed in exact decimal(38,0), and EMITTED as
+    * integer micro-units (score_u6) — no float ever feeds a sum or
+    * a rank, the q_est_error integer-sum pattern. */
+  private val bm25Cache = Text.newMemoCache()
+
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(bm25Cache, spark, dir) {
+      import spark.implicits._
+      val tf = Tables.documents(spark, dir)
+        .select($"doc_id", explode(toks($"text")).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_len"))
+      val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val qt = tf.filter($"doc_id" < 3).select($"doc_id".as("q_id"), $"term")
+      // idf is per (query, term) and the length norm is per doc —
+      // both are computed BEFORE the posting-list fan-out, so the ln
+      // and the corpus-scalar arithmetic run |q-terms| + |docs|
+      // times, never once per scored (q, doc, term) row
+      val qi = qt.join(dft, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+        .select($"q_id", $"term", $"idf")
+      val dn = dl.crossJoin(broadcast(stats))
+        .select($"doc_id", (lit(0.25) +
+          lit(0.75) * ($"dl" * $"n_docs").cast("double") / $"tot_len").as("dln"))
+      qi.join(tf, "term")
+        .filter($"doc_id" =!= $"q_id")
+        .join(dn, "doc_id")
+        .withColumn("w",
+          $"idf" * ($"tf" * lit(2.2)) / ($"tf" + lit(1.2) * $"dln"))
+        .groupBy($"q_id", $"doc_id")
+        .agg(sum(round($"w" * lit(1.0e12)).cast("decimal(38,0)")).as("s"))
+        .select($"q_id", $"doc_id",
+          round($"s".cast("double") / lit(1.0e6)).cast("long").as("score_u6"))
+        .localCheckpoint(eager = false)
+    }
+
+  /** L83 — BM25 lexical retrieval: top-10 documents per query doc by
+    * the shared [[bm25Scores]] table — the lexical half of every
+    * hybrid retrieval stack (and the strongest zero-training
+    * relevance baseline there is). Ranking and emission are both the
+    * INTEGER micro-unit score, tie-broken on doc_id — nothing float
+    * touches the order. At 100 TB the tf/df tables are the standing
+    * inverted-index statistics a search tier maintains; per-query
+    * cost is the posting-list equi-join, never a corpus scan. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"q_id").orderBy($"score_u6".desc, $"doc_id".asc)
+    bm25Scores(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"q_id", $"doc_id", $"rnk", $"score_u6")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
+  /** L84 — hybrid retrieval via reciprocal-rank fusion: the lexical
+    * (BM25 top-20) and semantic (same-cell cosine top-20, the IVF
+    * serving path — not brute force) rankings fuse per query doc as
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)), the standard
+    * score-scale-free fusion every hybrid search stack ships. A doc
+    * on one list only keeps its single term (full outer join,
+    * missing leg contributes 0 — rank 0 emitted as the "absent"
+    * sentinel). Scale shape: each leg is already bounded (top-20 per
+    * query), so the fusion join and final rank touch queries×40 rows
+    * at any corpus size; the legs themselves are the standing-index
+    * paths (posting-list equi-join; cell equi-join probing the
+    * query's IVF cell). Determinism: both leg ranks are integers;
+    * each RRF term is round-to-int of 1e12/(60+rank) — identical
+    * doubles, engine-exact, and 60+rank ≤ 80 can never land 1e12/x
+    * on a .5 tie (that needs a 2^13 factor) — summed as exact longs
+    * (rrf_u12); ranking and emission are integer-only. */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wLex = Window.partitionBy($"q_id").orderBy($"score_u6".desc, $"doc_id".asc)
+    val lex = bm25Scores(spark, dir)
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter($"r_lex" <= 20)
+      .select($"q_id", $"doc_id", $"r_lex")
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("vec", transform($"embedding", x => x.cast("double")))
+      .withColumn("nrm", sqrt(expr("graft_dot(vec, vec)")))
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val wSem = Window.partitionBy($"q_id").orderBy($"sim".desc, $"doc_id".asc)
+    val sem = emb
+      .select($"vec_id".as("doc_id"), $"label", $"vec".as("cv"), $"nrm".as("cn"))
+      .join(broadcast(q), $"label" === $"q_label" && $"doc_id" =!= $"q_id")
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
+      .withColumn("r_sem", row_number().over(wSem))
+      .filter($"r_sem" <= 20)
+      .select($"q_id", $"doc_id", $"r_sem")
+    val wFuse = Window.partitionBy($"q_id").orderBy($"rrf_u12".desc, $"doc_id".asc)
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_u12",
+        coalesce(round(lit(1.0e12) / (lit(60) + $"r_lex")).cast("long"), lit(0L)) +
+          coalesce(round(lit(1.0e12) / (lit(60) + $"r_sem")).cast("long"), lit(0L)))
+      .withColumn("rnk", row_number().over(wFuse))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"doc_id", $"rnk", $"rrf_u12",
+        coalesce($"r_lex", lit(0)).as("r_lex"),
+        coalesce($"r_sem", lit(0)).as("r_sem"))
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
   /** L33 — unigram-LM scoring (the perplexity quality filter with
     * the LM trained BY the corpus itself): p(tok) from corpus
     * occurrence counts, doc score = mean log p over its tokens —
@@ -993,6 +1121,8 @@ object Corpus {
     "q_pack_sequences" -> (qPackSequences _),
     "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
+    "q_rrf_fusion" -> (qRrfFusion _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_bigram_freq" -> (qBigramFreq _),
     "q_edit_distance" -> (qEditDistance _),
@@ -1001,6 +1131,40 @@ object Corpus {
     "q_token_entropy" -> (qTokenEntropy _),
     "q_length_trim" -> (qLengthTrim _),
   )
+
+  /** Shared oracle CTE prefix for the BM25 family (q_bm25,
+    * q_rrf_fusion's lexical leg): tokenize → tf → doc lengths →
+    * corpus stats → df → query terms → per-term w (textually
+    * mirroring the Spark operation order) → exact pico-unit HUGEINT
+    * sums → integer micro-unit scores. Ends at the `scored` CTE so
+    * each consumer appends its own ranking tail. */
+  private val bm25OracleCtes: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < 3),
+      |qi AS (SELECT qt.q_id, qt.term,
+      |    ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) AS idf
+      |  FROM qt JOIN dft USING (term) CROSS JOIN stats s),
+      |dn AS (SELECT doc_id, 0.25 +
+      |    0.75 * CAST(dl.dl * s.n_docs AS DOUBLE) / s.tot_len AS dln
+      |  FROM dl CROSS JOIN stats s),
+      |wt AS (SELECT qi.q_id, tf.doc_id,
+      |    qi.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * dn.dln) AS w
+      |  FROM qi JOIN tf USING (term)
+      |  JOIN dn ON tf.doc_id = dn.doc_id
+      |  WHERE tf.doc_id <> qi.q_id),
+      |sc AS (SELECT q_id, doc_id,
+      |    sum(CAST(round(w * 1e12) AS HUGEINT)) AS s
+      |  FROM wt GROUP BY q_id, doc_id),
+      |scored AS (SELECT q_id, doc_id,
+      |    CAST(round(CAST(s AS DOUBLE) / 1e6) AS BIGINT) AS score_u6
+      |  FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_bigram_entropy" ->
@@ -1380,6 +1544,57 @@ object Corpus {
         |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
         |WHERE tf >= 2
         |ORDER BY doc_id ASC NULLS FIRST, tf.term ASC NULLS FIRST""".stripMargin,
+    "q_bm25" ->
+      (bm25OracleCtes +
+        """,
+          |r AS (SELECT q_id, doc_id, score_u6,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY score_u6 DESC, doc_id ASC) AS rnk
+          |  FROM scored)
+          |SELECT q_id, doc_id, rnk, score_u6 FROM r WHERE rnk <= 10
+          |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin),
+    "q_rrf_fusion" ->
+      (bm25OracleCtes +
+        """,
+          |lex AS (SELECT q_id, doc_id, r_lex FROM (
+          |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+          |      ORDER BY score_u6 DESC, doc_id ASC) AS r_lex
+          |    FROM scored)
+          |  WHERE r_lex <= 20),
+          |pe AS (SELECT vec_id, label,
+          |    generate_subscripts(embedding, 1) AS i,
+          |    CAST(unnest(embedding) AS DOUBLE) AS x
+          |  FROM embeddings),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+          |  FROM pe GROUP BY vec_id),
+          |sd AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+          |    sum(q.x * c.x) AS dot
+          |  FROM pe q JOIN pe c ON q.i = c.i
+          |  WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+          |    AND q.label = c.label
+          |  GROUP BY q.vec_id, c.vec_id),
+          |ss AS (SELECT q_id, doc_id,
+          |    round(dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
+          |  FROM sd JOIN norms nq ON q_id = nq.vec_id
+          |  JOIN norms nc ON doc_id = nc.vec_id),
+          |sem AS (SELECT q_id, doc_id, r_sem FROM (
+          |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+          |      ORDER BY sim DESC, doc_id ASC) AS r_sem
+          |    FROM ss)
+          |  WHERE r_sem <= 20),
+          |f AS (SELECT q_id, doc_id,
+          |    COALESCE(CAST(round(1e12 / (60 + r_lex)) AS BIGINT), 0) +
+          |      COALESCE(CAST(round(1e12 / (60 + r_sem)) AS BIGINT), 0)
+          |      AS rrf_u12,
+          |    COALESCE(r_lex, 0) AS r_lex, COALESCE(r_sem, 0) AS r_sem
+          |  FROM lex FULL JOIN sem USING (q_id, doc_id)),
+          |r AS (SELECT q_id, doc_id, rrf_u12, r_lex, r_sem,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY rrf_u12 DESC, doc_id ASC) AS rnk
+          |  FROM f)
+          |SELECT q_id, doc_id, rnk, rrf_u12, r_lex, r_sem
+          |FROM r WHERE rnk <= 5
+          |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin),
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
         |  FROM documents),

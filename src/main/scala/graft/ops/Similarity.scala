@@ -441,6 +441,92 @@ object Similarity {
       .orderBy($"q_id".asc_nulls_first)
   }
 
+  /** L81 — metadata-FILTERED ANN: top-3 by cosine among candidates
+    * that pass a document-metadata predicate (here lang = 'en',
+    * joined on the shared id), probing the query's IVF cell — the
+    * "filtered vector search" serving shape every RAG stack needs
+    * (search only docs the caller may see / in the caller's
+    * language). PRE-filter, not post-filter: the predicate prunes
+    * the candidate set BEFORE ranking, so top-k is exact over the
+    * eligible set — post-filtering an unfiltered top-k under-fills
+    * k whenever the filter is selective, the classic filtered-ANN
+    * bug. Plan shape: the lang predicate pushes down to the
+    * documents scan (PushedFilters), eligibility attaches to the
+    * corpus by ONE equi-join on the id, and the probe is the same
+    * broadcast-query cell equi-join as q_ann_ivf — no BNLJ, no
+    * corpus-sized broadcast; at 100 TB the filter cuts the scanned
+    * cell before any distance math. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+    val elig = Tables.documents(spark, dir)
+      .filter($"lang" === "en")
+      .select($"doc_id".as("c_id"))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"vec".as("qv"), $"nrm".as("qn"))
+    val c = base.select($"vec_id".as("c_id"), $"label",
+      $"vec".as("cv"), $"nrm".as("cn"))
+      .join(elig, "c_id")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    c.join(broadcast(q), $"label" === $"q_label" && $"c_id" =!= $"q_id")
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"c_id", $"rnk", $"sim")
+      .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
+  /** L82 — truncated-dimension (Matryoshka-style) recall eval:
+    * recall@3 of cosine over the FIRST 16 of 64 dimensions against
+    * full-dimension ground truth, per query — the eval that decides
+    * whether an embedding column can be served at d/4 residency
+    * (a 4× scan-bytes cut for the coarse stage of a two-stage
+    * retriever, the same residency lever as PQ but with zero
+    * codebook). ONE scoring pass (the admitted broadcast-query-set
+    * BNLJ, q_ann_recall's shape) computes both dots per pair —
+    * graft_dot over the full vector and over its 16-dim prefix
+    * slice — and two q_id-keyed windows rank them; no second corpus
+    * pass. Zero-norm guards on BOTH sides mirror the oracle (a
+    * zero prefix would divide by zero). Integer hit counts; the
+    * only float emissions are 4dp-rounded sims consumed by the
+    * rank (decision, not sum) and the final ratio of two longs. */
+  def qMrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = withVec(Tables.embeddings(spark, dir))
+      .withColumn("pvec", slice($"vec", 1, 16))
+      .withColumn("pnrm", sqrt(expr("graft_dot(pvec, pvec)")))
+      .filter($"nrm" > 0 && $"pnrm" > 0)
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"vec".as("qv"), $"nrm".as("qn"),
+        $"pvec".as("qpv"), $"pnrm".as("qpn"))
+    val c = base.select($"vec_id".as("c_id"), $"vec".as("cv"),
+      $"nrm".as("cn"), $"pvec".as("cpv"), $"pnrm".as("cpn"))
+    val scored = c.join(broadcast(q), $"c_id" =!= $"q_id")
+      .withColumn("sim",
+        round(expr("graft_dot(qv, cv)") / ($"qn" * $"cn"), 4) + lit(0.0))
+      .withColumn("psim",
+        round(expr("graft_dot(qpv, cpv)") / ($"qpn" * $"cpn"), 4) + lit(0.0))
+    val wAll = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)
+    val wPre = Window.partitionBy($"q_id").orderBy($"psim".desc, $"c_id".asc)
+    scored
+      .withColumn("rall", row_number().over(wAll))
+      .withColumn("rpre", row_number().over(wPre))
+      .groupBy($"q_id")
+      .agg(sum(($"rall" <= 3).cast("long")).as("n_exact"),
+        sum(($"rall" <= 3 && $"rpre" <= 3).cast("long")).as("n_hits"),
+        // graded signal alongside the (often zero) recall: where the
+        // prefix's top-3 picks actually sit in the true ranking — the
+        // number a truncation decision reads when recall@k saturates
+        // at 0 (this corpus: isotropic synthetic dims, so the prefix
+        // is honestly unservable and the true ranks are large)
+        sum(when($"rpre" <= 3, $"rall".cast("long")).otherwise(0L))
+          .as("truerank_sum"))
+      .withColumn("recall_at_3", round($"n_hits" / $"n_exact", 4))
+      .orderBy($"q_id".asc_nulls_first)
+  }
+
   /** L53 — cosine calibration histogram: the distribution of cosine
     * similarity over a deterministic linear sample of vector pairs
     * (each id paired with its successor), binned into 20 equal-width
@@ -806,6 +892,8 @@ object Similarity {
     "q_cos_hist" -> (qCosHist _),
     "q_assign_purity" -> (qAssignPurity _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_filtered" -> (qAnnFiltered _),
+    "q_mrl_recall" -> (qMrlRecall _),
     "q_vector_norms" -> (qVectorNorms _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_cosine_topk" -> (qCosineTopk _),
@@ -1003,6 +1091,57 @@ object Similarity {
         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "q_cosine_topk" -> oracleCosine(""),
     "q_ann_ivf" -> oracleCosine("AND q.label = c.label"),
+    "q_ann_filtered" -> oracleCosine(
+      "AND q.label = c.label AND c.vec_id IN " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en')"),
+    "q_mrl_recall" ->
+      """WITH pe AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM pe GROUP BY vec_id),
+        |pnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS pnrm
+        |  FROM pe WHERE i <= 16 GROUP BY vec_id),
+        |d AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    sum(q.x * c.x) AS dot
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |pd AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    sum(q.x * c.x) AS pdot
+        |  FROM pe q JOIN pe c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.i <= 16
+        |  GROUP BY q.vec_id, c.vec_id),
+        |s AS (SELECT d.q_id, d.c_id,
+        |    round(d.dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim,
+        |    round(pd.pdot / (pq.pnrm * pc.pnrm), 4) + 0.0 AS psim
+        |  FROM d JOIN pd ON d.q_id = pd.q_id AND d.c_id = pd.c_id
+        |  JOIN norms nq ON d.q_id = nq.vec_id
+        |  JOIN norms nc ON d.c_id = nc.vec_id
+        |  JOIN pnorms pq ON d.q_id = pq.vec_id
+        |  JOIN pnorms pc ON d.c_id = pc.vec_id
+        |  WHERE nq.nrm > 0 AND nc.nrm > 0
+        |    AND pq.pnrm > 0 AND pc.pnrm > 0),
+        |r AS (SELECT q_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id ASC) AS rall,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY psim DESC, c_id ASC) AS rpre
+        |  FROM s)
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rall <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN rall <= 3 AND rpre <= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN rpre <= 3 THEN rall ELSE 0 END) AS BIGINT)
+        |    AS truerank_sum,
+        |  round(CAST(sum(CASE WHEN rall <= 3 AND rpre <= 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) /
+        |    CAST(sum(CASE WHEN rall <= 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    4) AS recall_at_3
+        |FROM r GROUP BY q_id
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q_ann_lsh" -> {
       val projs = (0 until 8)
         .map(j => s"sum(x * (((${2 * j + 3} * i) % 3) - 1)) AS p$j")

@@ -78,12 +78,14 @@ class OpsSpec extends SparkSuite with Matchers {
         Some(name) else None
     }
     // broadcast query set × corpus, by design: the exact-cosine path
-    // and the three EVALs that need exact ground truth (recall@k, kNN
-    // label classification, PQ ADC recall) — sampled query sets,
-    // never serving paths (q_pq_recall's SERVING side is the equi
-    // (sub, code) LUT join; only its ground-truth side is a BNLJ)
+    // and the four EVALs that need exact ground truth (recall@k, kNN
+    // label classification, PQ ADC recall, truncated-dim recall) —
+    // sampled query sets, never serving paths (q_pq_recall's SERVING
+    // side is the equi (sub, code) LUT join; only its ground-truth
+    // side is a BNLJ; q_mrl_recall is ground-truth-vs-prefix, both
+    // legs inherently exact scans over the sampled queries)
     bnlj shouldBe Seq("q_adc_err", "q_ann_recall", "q_cosine_topk",
-      "q_knn_classify", "q_pq_recall")
+      "q_knn_classify", "q_mrl_recall", "q_pq_recall")
   }
 
   test("SQL text surface: graft_dot resolves via GraftExtensions") {
@@ -258,6 +260,14 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_cosine_topk", "q_ann_ivf", "q_ann_lsh", "q_ann_multiprobe",
       "q_ann_recall", "q_semantic_dedup", "q_oov_rate",
       "q_assign_purity", "q_knn_classify",
+      // the filtered-ANN / truncated-dim / hybrid-fusion family hints
+      // only their sampled query sets (5, 5, and 3 rows — bounded by
+      // the query-set parameter, never the corpus). q_bm25 is NOT
+      // here: its 1-row stats hint sits inside the memoized score
+      // table's checkpointed lineage (the q_pq_codes precedent), so
+      // its visible plan is LogicalRDD + window; q_rrf_fusion IS here
+      // because its semantic leg's query-set hint is outside the memo
+      "q_ann_filtered", "q_mrl_recall", "q_rrf_fusion",
       // q_ann_upsert broadcasts the standing index's k-row centroid
       // table (bounded by the IVF cell-count parameter, not the
       // corpus) — same class as q_ann_multiprobe's centroid hint
@@ -376,6 +386,49 @@ class OpsSpec extends SparkSuite with Matchers {
     // brute-force cosine has no equi key by design — BNLJ against the
     // broadcast query set is the intended (and only) nested-loop plan
     planOf(Similarity.qCosineTopk(spark, sf)) should include("BroadcastNestedLoopJoin")
+  }
+
+  test("filtered ANN: pre-filter prunes before ranking; lang predicate reaches the scan") {
+    import spark.implicits._
+    val plan = planOf(Similarity.qAnnFiltered(spark, sf))
+    // the 100 TB claim made visible: the metadata predicate is
+    // EVALUATED AT THE DOCUMENTS SCAN (pushed filter), not after a
+    // join, and the probe stays a hash join — no nested loop anywhere
+    plan should include("EqualTo(lang,en)")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val en = graft.Tables.documents(spark, sf).filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    val rows = Similarity.qAnnFiltered(spark, sf)
+      .select($"q_id", $"c_id", $"rnk", $"sim")
+      .as[(Long, Long, Int, Double)].collect()
+    rows should not be empty
+    // pre-filter semantics: every hit is eligible, and the filtered
+    // top-1 can never beat the unfiltered top-1 of the same cell
+    // (the eligible set is a subset of the cell's candidates)
+    rows.foreach { case (_, c, _, _) => en should contain(c) }
+    val full = Similarity.qAnnIvf(spark, sf).filter($"rnk" === 1)
+      .select($"q_id", $"sim").as[(Long, Double)].collect().toMap
+    rows.filter(_._3 == 1).foreach { case (q, _, _, s) =>
+      s should be <= full(q)
+    }
+  }
+
+  test("RRF fusion: every term recomputes from the leg ranks as exact integers") {
+    import spark.implicits._
+    val rows = Corpus.qRrfFusion(spark, sf)
+      .select($"rrf_u12", $"r_lex", $"r_sem").as[(Long, Int, Int)].collect()
+    rows should not be empty
+    rows.foreach { case (u, rl, rs) =>
+      // 0 is the "absent from this leg" sentinel; a fused doc must
+      // appear on at least one leg, inside that leg's top-20 cut
+      def term(r: Int): Long =
+        if (r == 0) 0L else math.round(1.0e12 / (60 + r))
+      u shouldBe term(rl) + term(rs)
+      (rl + rs) should be > 0
+      rl should be <= 20
+      rs should be <= 20
+    }
   }
 
   test("multiprobe ANN: corpus join is a BHJ on the cell key; recall >= single-probe") {
