@@ -158,8 +158,8 @@ object Corpus {
     * document against each of three query documents (doc_id < 3 —
     * the query docs' distinct terms ARE the queries, the
     * more-like-this retrieval shape), memoized per (session, dir)
-    * because two queries consume it (q_bm25's lexical ranking and
-    * q_rrf_fusion's lexical leg). idf = ln(1 + (N−df+0.5)/(df+0.5))
+    * because three queries consume it (q_bm25's lexical ranking,
+    * q_rrf_fusion's lexical leg, q_ndcg's graded eval). idf = ln(1 + (N−df+0.5)/(df+0.5))
     * — nonnegative by construction, so low-df terms dominate exactly
     * as a retrieval stack expects. Plan: the tf table builds once
     * (explode + hash-agg) and is lazily checkpointed — its THREE
@@ -280,6 +280,47 @@ object Corpus {
         coalesce($"r_lex", lit(0)).as("r_lex"),
         coalesce($"r_sem", lit(0)).as("r_sem"))
       .orderBy($"q_id".asc_nulls_first, $"rnk".asc_nulls_first)
+  }
+
+  /** L85 — ranking-quality eval (nDCG@10): graded relevance of the
+    * BM25 ranking, the eval a retrieval stack runs before shipping a
+    * scorer change (recall@k treats all hits alike; nDCG pays more
+    * for putting the MOST relevant docs first). Relevance grades
+    * derive from document metadata — 2 = same source as the query
+    * doc, 1 = same language, 0 = neither — the provenance-based
+    * relevance a synthetic corpus supports honestly. DCG@10 =
+    * Σ_{r≤10} rel/log2(1+r) over the BM25 rank; IDCG@10 re-ranks the
+    * SAME candidate set by relevance. Third consumer of the memoized
+    * [[bm25Scores]] table, so the eval costs two windows and two
+    * metadata equi-joins, never a new corpus pass. Determinism: each
+    * DCG term is round-to-int of rel/log2(1+rank)·1e12 — integer
+    * rank in, identical double out, engine-exact — summed as exact
+    * longs; both emitted gains are integers and the final ratio is
+    * one rounded division of two identical longs. */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.documents(spark, dir).select($"doc_id", $"lang", $"source")
+    val wLex = Window.partitionBy($"q_id").orderBy($"score_u6".desc, $"doc_id".asc)
+    val rels = bm25Scores(spark, dir)
+      .withColumn("r_lex", row_number().over(wLex))
+      .join(meta.select($"doc_id".as("q_id"), $"lang".as("q_lang"),
+        $"source".as("q_source")), "q_id")
+      .join(meta, "doc_id")
+      .withColumn("rel",
+        when($"source" === $"q_source", 2)
+          .when($"lang" === $"q_lang", 1)
+          .otherwise(0))
+    val wIdeal = Window.partitionBy($"q_id").orderBy($"rel".desc, $"doc_id".asc)
+    def gain(rank: Column): Column =
+      round($"rel" / log2(lit(1.0) + rank) * lit(1.0e12)).cast("long")
+    rels
+      .withColumn("r_ideal", row_number().over(wIdeal))
+      .groupBy($"q_id")
+      .agg(sum(when($"r_lex" <= 10, gain($"r_lex")).otherwise(0L)).as("dcg_u12"),
+        sum(when($"r_ideal" <= 10, gain($"r_ideal")).otherwise(0L)).as("idcg_u12"))
+      .withColumn("ndcg_at_10",
+        round($"dcg_u12".cast("double") / $"idcg_u12", 4))
+      .orderBy($"q_id".asc_nulls_first)
   }
 
   /** L33 — unigram-LM scoring (the perplexity quality filter with
@@ -1123,6 +1164,7 @@ object Corpus {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_rrf_fusion" -> (qRrfFusion _),
+    "q_ndcg" -> (qNdcg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_bigram_freq" -> (qBigramFreq _),
     "q_edit_distance" -> (qEditDistance _),
@@ -1595,6 +1637,35 @@ object Corpus {
           |SELECT q_id, doc_id, rnk, rrf_u12, r_lex, r_sem
           |FROM r WHERE rnk <= 5
           |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin),
+    "q_ndcg" ->
+      (bm25OracleCtes +
+        """,
+          |lex AS (SELECT q_id, doc_id, score_u6,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY score_u6 DESC, doc_id ASC) AS r_lex
+          |  FROM scored),
+          |rels AS (SELECT l.q_id, l.doc_id, l.r_lex,
+          |    CASE WHEN cm.source = qm.source THEN 2
+          |      WHEN cm.lang = qm.lang THEN 1 ELSE 0 END AS rel
+          |  FROM lex l
+          |  JOIN documents qm ON l.q_id = qm.doc_id
+          |  JOIN documents cm ON l.doc_id = cm.doc_id),
+          |ideal AS (SELECT q_id, rel,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY rel DESC, doc_id ASC) AS r_ideal
+          |  FROM rels),
+          |d AS (SELECT q_id, CAST(sum(CASE WHEN r_lex <= 10
+          |      THEN CAST(round(rel / log2(1.0 + r_lex) * 1e12) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS dcg_u12
+          |  FROM rels GROUP BY q_id),
+          |i AS (SELECT q_id, CAST(sum(CASE WHEN r_ideal <= 10
+          |      THEN CAST(round(rel / log2(1.0 + r_ideal) * 1e12) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS idcg_u12
+          |  FROM ideal GROUP BY q_id)
+          |SELECT d.q_id, d.dcg_u12, i.idcg_u12,
+          |  round(CAST(d.dcg_u12 AS DOUBLE) / i.idcg_u12, 4) AS ndcg_at_10
+          |FROM d JOIN i ON d.q_id = i.q_id
+          |ORDER BY d.q_id ASC NULLS FIRST""".stripMargin),
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
         |  FROM documents),
