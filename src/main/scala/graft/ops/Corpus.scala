@@ -176,9 +176,21 @@ object Corpus {
     * integer micro-units (score_u6) — no float ever feeds a sum or
     * a rank, the q_est_error integer-sum pattern. */
   private val bm25Cache = Text.newMemoCache()
+  private val bm25PostCache = Text.newMemoCache()
 
-  private def bm25Scores(spark: SparkSession, dir: String): DataFrame =
-    Text.memoized(bm25Cache, spark, dir) {
+  /** The STANDING BM25 scoring index — one static table at (term,
+    * doc_id) grain carrying tf, the term's idf and the doc's length
+    * norm pre-attached: exactly what a search tier persists between
+    * ingests (posting lists + scoring statistics). idf and the
+    * length norm are computed at their NATURAL grain (|vocab| and
+    * |docs| rows) before attaching, so the ln and the corpus-scalar
+    * arithmetic never run once per scored (q, doc, term) row.
+    * Memoized + lazily checkpointed: the scorer probes it as a
+    * STATIC side, which is what lets [[bm25Score]] run unchanged
+    * under Structured Streaming (stream-static equi-join — the
+    * parity spec proves it). */
+  private[graft] def bm25Postings(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(bm25PostCache, spark, dir) {
       import spark.implicits._
       val tf = Tables.documents(spark, dir)
         .select($"doc_id", explode(toks($"text")).as("term"))
@@ -187,29 +199,48 @@ object Corpus {
         .localCheckpoint(eager = false)
       val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_len"))
-      val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val qt = tf.filter($"doc_id" < 3).select($"doc_id".as("q_id"), $"term")
-      // idf is per (query, term) and the length norm is per doc —
-      // both are computed BEFORE the posting-list fan-out, so the ln
-      // and the corpus-scalar arithmetic run |q-terms| + |docs|
-      // times, never once per scored (q, doc, term) row
-      val qi = qt.join(dft, "term")
+      val idfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-        .select($"q_id", $"term", $"idf")
+        .select($"term", $"idf")
       val dn = dl.crossJoin(broadcast(stats))
         .select($"doc_id", (lit(0.25) +
           lit(0.75) * ($"dl" * $"n_docs").cast("double") / $"tot_len").as("dln"))
-      qi.join(tf, "term")
-        .filter($"doc_id" =!= $"q_id")
-        .join(dn, "doc_id")
-        .withColumn("w",
-          $"idf" * ($"tf" * lit(2.2)) / ($"tf" + lit(1.2) * $"dln"))
-        .groupBy($"q_id", $"doc_id")
-        .agg(sum(round($"w" * lit(1.0e12)).cast("decimal(38,0)")).as("s"))
-        .select($"q_id", $"doc_id",
-          round($"s".cast("double") / lit(1.0e6)).cast("long").as("score_u6"))
+      tf.join(idfTbl, "term").join(dn, "doc_id")
+        .localCheckpoint(eager = false)
+    }
+
+  /** ARRIVAL-path query tokenization: (q_id, distinct term) as a
+    * PURE per-row projection — no shuffle, no state — so an arriving
+    * query scores under Structured Streaming exactly like a batch
+    * one (the bandProject precedent). */
+  private[graft] def queryToks(df: DataFrame): DataFrame =
+    df.select(col("doc_id").as("q_id"),
+      explode(array_distinct(toks(col("text")))).as("term"))
+
+  /** Score arriving query term sets against the standing postings:
+    * one equi-join on the term key + one (q, doc)-keyed exact
+    * decimal sum of pico-unit terms, emitted as integer micro-units.
+    * Works identically on a batch or a streaming `qtoks` (the join
+    * is stream-static, the agg runs in complete mode on bounded
+    * input). */
+  private[graft] def bm25Score(qtoks: DataFrame, postings: DataFrame): DataFrame =
+    qtoks.join(postings, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("w", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * col("dln")))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(round(col("w") * lit(1.0e12)).cast("decimal(38,0)")).as("s"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("s").cast("double") / lit(1.0e6)).cast("long").as("score_u6"))
+
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(bm25Cache, spark, dir) {
+      import spark.implicits._
+      bm25Score(
+        queryToks(Tables.documents(spark, dir).filter($"doc_id" < 3)),
+        bm25Postings(spark, dir))
         .localCheckpoint(eager = false)
     }
 

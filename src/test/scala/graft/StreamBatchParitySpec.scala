@@ -259,4 +259,46 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     // (measured, both engines) — assert both verdicts actually occur
     streamed.map(_(1)) should contain allOf ("drop_near", "keep")
   }
+
+  test("bm25 query scoring: stream-static probe == batch run") {
+    import spark.implicits._
+    // the retrieval-serving mirror of the dedup vet above: QUERIES
+    // arrive on a stream, each is tokenized on arrival
+    // (Corpus.queryToks — pure projection, no shuffle, no state) and
+    // scored against the STANDING postings index via a stream-static
+    // equi-join on the term key. The batch q_bm25/q_rrf_fusion/q_ndcg
+    // family reads the SAME bm25Score(queryToks(...), postings) code,
+    // so parity cannot drift from the oracle-gated surface.
+    val postings = graft.ops.Corpus.bm25Postings(spark, sf)
+    val batch = graft.ops.Corpus.bm25Score(
+        graft.ops.Corpus.queryToks(
+          Tables.documents(spark, sf).filter($"doc_id" < 3)),
+        postings)
+      .collect().map(_.toSeq).toSet
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25_ck").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val arriving = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .filter($"doc_id" < 3)
+    val q = graft.ops.Corpus.bm25Score(
+        graft.ops.Corpus.queryToks(arriving), postings)
+      .writeStream
+      .outputMode("complete") // bounded input: the agg's full result
+      .format("memory").queryName("parity_bm25")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val streamed = spark.table("parity_bm25").collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size should be > 0
+  }
 }
