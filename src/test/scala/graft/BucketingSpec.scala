@@ -252,6 +252,68 @@ class BucketingSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /** The search-tier layout claim, made code: bm25Postings' scaladoc
+    * calls the table "what a search tier persists between ingests" —
+    * here it IS persisted bucketed on the term key, and the arriving
+    * query's score probe (bm25Score) reads it IN PLACE: the merge
+    * join's postings side is the bucketed scan with no exchange en
+    * route; the only shuffles in the whole plan are the
+    * query-proportional probe sort and the (q, doc)-keyed score
+    * aggregation. That is what makes a query's cost the posting-list
+    * read at 100 TB — never a reshuffle of the index. */
+  test("BM25 postings bucketed: the score probe shuffles only the query side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      spark.sql("DROP TABLE IF EXISTS postings_bkt")
+      val d = new java.io.File(wh, "postings_bkt")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+
+      graft.ops.Corpus.bm25Postings(spark, sf)
+        .write.mode("overwrite")
+        .bucketBy(8, "term").sortBy("term").saveAsTable("postings_bkt")
+
+      val qtoks = graft.ops.Corpus.queryToks(
+        Tables.documents(spark, sf).filter($"doc_id" < 3))
+      val scored = graft.ops.Corpus.bm25Score(
+        qtoks, spark.table("postings_bkt").hint("merge"))
+
+      val plan = scored.queryExecution.executedPlan
+      plan.toString should include("SortMergeJoin")
+      plan.toString should include("Bucketed: true")
+      // the postings side of the merge join is the bucketed scan,
+      // read in place (no exchange between scan and join)
+      def directBucketedSide(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[String] = p match {
+        case s: FileSourceScanExec if s.bucketedScan =>
+          s.tableIdentifier.map(_.table)
+        case _: ShuffleExchangeLike => None
+        case _ if p.children.size == 1 => directBucketedSide(p.children.head)
+        case _ => None
+      }
+      val inPlace = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right).flatMap(directBucketedSide)
+      }.flatten
+      inPlace shouldBe Seq("postings_bkt")
+      // exactly two query-proportional shuffles: the probe's term
+      // sort and the (q_id, doc_id) score aggregation
+      plan.collect { case e: ShuffleExchangeLike => e } should have size 2
+
+      // value parity with the registry path's unbucketed postings
+      val viaBucket = scored.collect().map(_.toSeq).toSet
+      val direct = graft.ops.Corpus.bm25Score(
+          qtoks, graft.ops.Corpus.bm25Postings(spark, sf))
+        .collect().map(_.toSeq).toSet
+      viaBucket shouldBe direct
+      viaBucket.size should be > 0
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** The PQ serving layout claim, made code (the similarity-side
     * mirror of the CDC index case above): q_pq_codes' scaladoc calls
     * the assignment table "the parquet code table every probe reads"
