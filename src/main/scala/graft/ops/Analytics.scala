@@ -940,7 +940,59 @@ object Analytics {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** L86 — Z-order layout key + clustering-quality audit: the
+    * multi-dimensional data-layout lever (Delta/Iceberg's OPTIMIZE
+    * ZORDER, Spark's repartitionByRange on an interleaved key) made
+    * a measurable decision. Each event quantizes its two query
+    * dimensions (time, value) to 8-bit codes on an INTEGER grid —
+    * (v − min)·256 div (span+1), exact at any scale, no float
+    * division — the z key interleaves the bits, and the audit
+    * compares 16 equal z-range "files" against 16 time-range files:
+    * per file, rows plus the PER-DIM code spans and bounding-box
+    * area — exactly what parquet min/max row-group pruning reads.
+    * The trade it measures (this corpus, sf0.01: linear = time-span
+    * 16 / value-span ~180; z-order = 64 / 64): a time-linear layout
+    * is perfect for time predicates and nearly unprunable for value
+    * predicates; z-order bounds BOTH spans at 64, so a value-range
+    * scan skips ~4× more files at the cost of 4× wider time boxes —
+    * the audit emits both spans so the layout decision reads
+    * directly off the result. Plan: one scalar
+    * min/max broadcast, one projection (the z key is 16 shifts and
+    * adds — codegen, no UDF), one explode×2 for the two layouts,
+    * one hash-agg; ALL-INTEGER output — zero rounding-tie surface.
+    * At 100 TB the z key is what you pass to repartitionByRange
+    * before the write; this audit is how you justify the shuffle. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("v_u"))
+    val mm = ev.agg(min($"ts_us").as("t0"), max($"ts_us").as("t1"),
+      min($"v_u").as("v0"), max($"v_u").as("v1"))
+    val zExpr = (0 until 8).map(i =>
+      s"shiftleft(shiftright(xc, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(yc, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    ev.crossJoin(broadcast(mm))
+      .withColumn("xc", expr("((ts_us - t0) * 256) div (t1 - t0 + 1)"))
+      .withColumn("yc", expr("((v_u - v0) * 256) div (v1 - v0 + 1)"))
+      .withColumn("z", expr(zExpr))
+      .select($"xc", $"yc", explode(array(
+        struct(lit("linear").as("layout"), expr("xc div 16").as("bucket")),
+        struct(lit("zorder").as("layout"), expr("z div 4096").as("bucket"))))
+        .as("e"))
+      .select($"xc", $"yc", $"e.layout".as("layout"), $"e.bucket".as("bucket"))
+      .groupBy($"layout", $"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (max($"xc") - min($"xc") + 1).as("t_span"),
+        (max($"yc") - min($"yc") + 1).as("v_span"),
+        ((max($"xc") - min($"xc") + 1) *
+          (max($"yc") - min($"yc") + 1)).as("bbox_area"))
+      .orderBy($"layout".asc_nulls_first, $"bucket".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder" -> (qZorder _),
     "q_funnel" -> (qFunnel _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_gap_percentiles" -> (qGapPercentiles _),
@@ -983,6 +1035,29 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((xc >> $i) & 1) << ${2 * i}) + (((yc >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS v_u FROM events),
+         |mm AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+         |    min(v_u) AS v0, max(v_u) AS v1 FROM ev),
+         |c AS (SELECT ((ts_us - t0) * 256) // (t1 - t0 + 1) AS xc,
+         |    ((v_u - v0) * 256) // (v1 - v0 + 1) AS yc
+         |  FROM ev CROSS JOIN mm),
+         |zt AS (SELECT xc, yc, $zExpr AS z FROM c),
+         |b AS (
+         |  SELECT 'linear' AS layout, xc // 16 AS bucket, xc, yc FROM zt
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout, z // 4096 AS bucket, xc, yc FROM zt)
+         |SELECT layout, bucket, count(*) AS n_rows,
+         |  max(xc) - min(xc) + 1 AS t_span,
+         |  max(yc) - min(yc) + 1 AS v_span,
+         |  (max(xc) - min(xc) + 1) * (max(yc) - min(yc) + 1) AS bbox_area
+         |FROM b GROUP BY layout, bucket
+         |ORDER BY layout ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin
+    },
     "q_winsorized_stats" ->
       """WITH r AS (SELECT event_id, event_type, value,
         |    row_number() OVER

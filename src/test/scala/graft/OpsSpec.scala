@@ -242,6 +242,9 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
       "q_ppl_bucket", "q_domain_mix", "q_lsh_precision",
+      // q_zorder's only hint is the 1-row min/max scalar the integer
+      // quantization grid derives from
+      "q_zorder",
       // q_budget_sample hints exactly two 1-row scalar aggregates
       // (corpus total, leftover-seat count); its quota table is a
       // source-grain dim left to Catalyst sizing
