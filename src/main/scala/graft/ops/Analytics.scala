@@ -991,7 +991,48 @@ object Analytics {
       .orderBy($"layout".asc_nulls_first, $"bucket".asc_nulls_first)
   }
 
+  /** L87 — join-key skew audit: the measurement that justifies a
+    * salting/AQE-skew intervention BEFORE a 100 TB join, run over
+    * the three join keys this engine's own queries shuffle on. Per
+    * key: distinct-key count, total rows, the p50/p99/max per-key
+    * frequencies (exact ceiling-rank picks on the integer count
+    * table — q_gap_percentiles' mechanism, (c, k) tie-break), and
+    * skew_x100 = 100·max/floor-avg in PURE int64 arithmetic
+    * ((max·100) div (rows div keys) — max·100 is rows-per-hottest-
+    * key-scaled, safe at any scale, unlike max·keys·100 which
+    * overflows int64 on a billion-key table with a giant hot key).
+    * Plan: three map-side-combinable count aggs; the windows rank
+    * the per-key COUNT tables (index-sized, never the fact rows) —
+    * the same cardinality a skew-stats pass costs at 100 TB.
+    * All-integer output, zero tie surface. */
+  def qSkewStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def keyCounts(df: DataFrame, keyCol: String, nm: String): DataFrame =
+      df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(nm).as("key_name"), $"k", $"c")
+    val all = keyCounts(Tables.lineitem(spark, dir), "l_suppkey", "lineitem.l_suppkey")
+      .unionByName(keyCounts(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .unionByName(keyCounts(Tables.events(spark, dir), "user_id", "events.user_id"))
+    val w = Window.partitionBy($"key_name")
+    all
+      .withColumn("rn", row_number().over(w.orderBy($"c".asc, $"k".asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("tot", sum($"c").over(w))
+      .filter($"rn" === expr("(50 * n + 99) div 100") ||
+        $"rn" === expr("(99 * n + 99) div 100") || $"rn" === $"n")
+      .groupBy($"key_name")
+      .agg(max($"n").as("n_keys"), max($"tot").as("n_rows"),
+        min(when($"rn" === expr("(50 * n + 99) div 100"), $"c")).as("p50_c"),
+        min(when($"rn" === expr("(99 * n + 99) div 100"), $"c")).as("p99_c"),
+        max(when($"rn" === $"n", $"c")).as("max_c"))
+      .withColumn("skew_x100",
+        expr("(max_c * 100) div (n_rows div n_keys)"))
+      .orderBy($"key_name".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skew_stats" -> (qSkewStats _),
     "q_zorder" -> (qZorder _),
     "q_funnel" -> (qFunnel _),
     "q_event_transitions" -> (qEventTransitions _),
@@ -1035,6 +1076,37 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_stats" ->
+      """WITH ks AS (
+        |  SELECT 'lineitem.l_suppkey' AS key_name,
+        |      CAST(l_suppkey AS BIGINT) AS k, count(*) AS c
+        |    FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT), count(*)
+        |    FROM orders GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'events.user_id', CAST(user_id AS BIGINT), count(*)
+        |    FROM events GROUP BY 1, 2),
+        |r AS (SELECT key_name, k, c,
+        |    row_number() OVER (PARTITION BY key_name
+        |      ORDER BY c ASC, k ASC) AS rn,
+        |    count(*) OVER (PARTITION BY key_name) AS n,
+        |    sum(c) OVER (PARTITION BY key_name) AS tot
+        |  FROM ks),
+        |a AS (SELECT key_name,
+        |    CAST(max(n) AS BIGINT) AS n_keys,
+        |    CAST(max(tot) AS BIGINT) AS n_rows,
+        |    min(CASE WHEN rn = (50 * n + 99) // 100 THEN c END) AS p50_c,
+        |    min(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS p99_c,
+        |    max(CASE WHEN rn = n THEN c END) AS max_c
+        |  FROM r
+        |  WHERE rn = (50 * n + 99) // 100 OR rn = (99 * n + 99) // 100
+        |    OR rn = n
+        |  GROUP BY key_name)
+        |SELECT key_name, n_keys, n_rows, p50_c, p99_c, max_c,
+        |  CAST((max_c * 100) // (n_rows // n_keys) AS BIGINT) AS skew_x100
+        |FROM a
+        |ORDER BY key_name ASC NULLS FIRST""".stripMargin,
     "q_zorder" -> {
       val zExpr = (0 until 8).map(i =>
         s"(((xc >> $i) & 1) << ${2 * i}) + (((yc >> $i) & 1) << ${2 * i + 1})")
