@@ -962,7 +962,11 @@ object Analytics {
     * one hash-agg; ALL-INTEGER output — zero rounding-tie surface.
     * At 100 TB the z key is what you pass to repartitionByRange
     * before the write; this audit is how you justify the shuffle. */
-  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+  /** The (ts_us, v_u, xc, yc, z) code table [[qZorder]] audits —
+    * factored so LayoutSpec can WRITE the two layouts through
+    * repartitionByRange and assert real parquet-footer min/max
+    * pruning, not just the simulated bucket boxes. */
+  private[graft] def zorderCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(unix_micros($"ts").as("ts_us"),
@@ -977,6 +981,12 @@ object Analytics {
       .withColumn("xc", expr("((ts_us - t0) * 256) div (t1 - t0 + 1)"))
       .withColumn("yc", expr("((v_u - v0) * 256) div (v1 - v0 + 1)"))
       .withColumn("z", expr(zExpr))
+      .select($"ts_us", $"v_u", $"xc", $"yc", $"z")
+  }
+
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zorderCodes(spark, dir)
       .select($"xc", $"yc", explode(array(
         struct(lit("linear").as("layout"), expr("xc div 16").as("bucket")),
         struct(lit("zorder").as("layout"), expr("z div 4096").as("bucket"))))
