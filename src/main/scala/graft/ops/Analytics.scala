@@ -966,6 +966,14 @@ object Analytics {
     * factored so LayoutSpec can WRITE the two layouts through
     * repartitionByRange and assert real parquet-footer min/max
     * pruning, not just the simulated bucket boxes. */
+  /** The 8+8-bit interleave as a SQL expression over columns
+    * `xc`/`yc` — exposed so OpsSpec can prove it bijective and
+    * box-bounded over the FULL 65536-pair domain. */
+  private[graft] val zInterleaveExpr: String = (0 until 8).map(i =>
+    s"shiftleft(shiftright(xc, $i) & 1, ${2 * i}) + " +
+      s"shiftleft(shiftright(yc, $i) & 1, ${2 * i + 1})")
+    .mkString(" + ")
+
   private[graft] def zorderCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
@@ -973,10 +981,7 @@ object Analytics {
         round($"value" * 100).cast("long").as("v_u"))
     val mm = ev.agg(min($"ts_us").as("t0"), max($"ts_us").as("t1"),
       min($"v_u").as("v0"), max($"v_u").as("v1"))
-    val zExpr = (0 until 8).map(i =>
-      s"shiftleft(shiftright(xc, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright(yc, $i) & 1, ${2 * i + 1})")
-      .mkString(" + ")
+    val zExpr = zInterleaveExpr
     ev.crossJoin(broadcast(mm))
       .withColumn("xc", expr("((ts_us - t0) * 256) div (t1 - t0 + 1)"))
       .withColumn("yc", expr("((v_u - v0) * 256) div (v1 - v0 + 1)"))

@@ -434,6 +434,36 @@ class OpsSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("z-interleave: bijective and box-bounded over the FULL 16-bit domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, max, min}
+    // exhaustive, not sampled: all 65536 (xc, yc) pairs. Two claims
+    // the q_zorder audit and the LayoutSpec pruning proof both rest
+    // on: (1) the interleave is a bijection onto [0, 65536) — no two
+    // cells share a z, so range-splitting z never merges distant
+    // cells; (2) each of the 16 z-ranges (z div 4096) confines BOTH
+    // dims to a 64-wide band — the bounded per-file min/max span
+    // that makes value predicates prunable
+    val dom = spark.range(65536L)
+      .select((col("id") % 256).as("xc"), expr("id div 256").as("yc"))
+      .withColumn("z", expr(graft.ops.Analytics.zInterleaveExpr))
+    val rows = dom.agg(
+      countDistinct($"z").as("nz"),
+      min($"z").as("zmin"), max($"z").as("zmax")).head
+    rows.getLong(0) shouldBe 65536L
+    rows.getLong(1) shouldBe 0L
+    rows.getLong(2) shouldBe 65535L
+    val boxes = dom.groupBy(expr("z div 4096").as("bucket"))
+      .agg((max($"xc") - min($"xc") + 1).as("xspan"),
+        (max($"yc") - min($"yc") + 1).as("yspan"))
+      .select($"xspan", $"yspan").as[(Long, Long)].collect()
+    boxes should have size 16
+    boxes.foreach { case (xs, ys) =>
+      xs shouldBe 64L
+      ys shouldBe 64L
+    }
+  }
+
   test("multiprobe ANN: corpus join is a BHJ on the cell key; recall >= single-probe") {
     import spark.implicits._
     // plan: the corpus-side join must hash on label — the only BNLJ
