@@ -83,7 +83,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","slowest10":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest10":$slowest,"sf":"$sfDir"}"""
     println(totalLine)
     println(line)
     println(totalLine)
