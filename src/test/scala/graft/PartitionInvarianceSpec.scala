@@ -65,7 +65,11 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_pq_recall",       // ADC vs exact rank ties under rounded dists
     "q_batch_drift",     // smoothed ln-sum accumulation across partitions
     "q_ivfpq",           // ADC shortlist cut + exact re-rank ties
-    "q_adc_err")         // raw-double error sums across partitions
+    "q_adc_err",         // raw-double error sums across partitions
+    "q_bm25",            // per-term pico-round sums + integer rank cut
+    "q_mrl_recall",      // two rank windows over rounded sims
+    "q_ndcg",            // rank-gated gain sums over two windows
+    "q_skew_stats")      // ceiling-rank picks on per-key count ties
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
