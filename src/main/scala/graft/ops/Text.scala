@@ -433,6 +433,44 @@ object Text {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** L88 — curriculum ordering: the difficulty-ordered,
+    * source-interleaved TRAINING ORDER a data pipeline materializes
+    * after curation (easy-first curricula and "every shard is a
+    * balanced mix" are both standard levers; this emits one order
+    * with both properties). Within each source, docs rank easy-first
+    * by the L9 quality score (same 0.6/0.4 lattice formula and
+    * tie-breaks as q_quality_score — one contract); the global
+    * position then interleaves sources ARITHMETICALLY —
+    * (rank−1)·20 + source_index — so every contiguous position
+    * range (= every training shard) holds an equal source mix and a
+    * narrow difficulty band. NO global window: per-source windows
+    * rank, arithmetic places — at 100 TB the order is a
+    * repartitionByRange(position) write away, and position is
+    * computable per row. Emits the first 20 positions (one full
+    * round of the 20 sources) via orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "to")
+    val scored = Tables.documents(spark, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
+      .withColumn("stop_ratio",
+        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
+      .withColumn("score",
+        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
+      .select($"doc_id", $"source", $"score")
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
+    scored
+      .withColumn("rs", row_number().over(w))
+      .withColumn("si", expr("CAST(substring(source, 4) AS INT)"))
+      .select((($"rs" - 1) * lit(20) + $"si").as("position"),
+        $"doc_id", $"source", $"rs", $"score")
+      .orderBy($"position".asc_nulls_first)
+      .limit(20)
+  }
+
   /** [EXT] token counting: whitespace tokens + a BPE-ish regex pass
     * (letter runs / digit runs / single punctuation = rough subword
     * proxy) — both are codegen'd regex expressions. */
@@ -1975,6 +2013,7 @@ object Text {
     "q_lang_id" -> (qLangId _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_quality_score" -> (qQualityScore _),
+    "q_curriculum" -> (qCurriculum _),
     "q_token_count" -> (qTokenCount _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_bpe_merges" -> (qBpeMerges _),
@@ -2290,6 +2329,27 @@ object Text {
         |  round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
         |FROM m
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), ' +') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
+        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
+        |      AS stop_ratio
+        |  FROM t),
+        |s AS (SELECT doc_id, source,
+        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |  FROM m),
+        |r AS (SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS rs,
+        |    CAST(substring(source, 4) AS INT) AS si
+        |  FROM s)
+        |SELECT (rs - 1) * 20 + si AS position, doc_id, source, rs, score
+        |FROM r
+        |ORDER BY position ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), ' +')) AS ws_tokens,
