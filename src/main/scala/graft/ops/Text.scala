@@ -449,7 +449,10 @@ object Text {
     * computable per row. Emits the first 20 positions (one full
     * round of the 20 sources) via orderBy+limit →
     * TakeOrderedAndProject, never a global sort. */
-  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+  /** The full curriculum order — (position, doc_id, source, rs,
+    * score, n_tokens) for every doc — shared by [[qCurriculum]]'s
+    * head emission and [[qShardManifest]]'s shard audit. */
+  private def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stops = Seq("the", "a", "of", "and", "to")
     val scored = Tables.documents(spark, dir)
@@ -460,15 +463,44 @@ object Text {
         round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
       .withColumn("score",
         round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
-      .select($"doc_id", $"source", $"score")
+      .select($"doc_id", $"source", $"score", $"n_tokens")
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
     scored
       .withColumn("rs", row_number().over(w))
       .withColumn("si", expr("CAST(substring(source, 4) AS INT)"))
       .select((($"rs" - 1) * lit(20) + $"si").as("position"),
-        $"doc_id", $"source", $"rs", $"score")
+        $"doc_id", $"source", $"rs", $"score", $"n_tokens")
+  }
+
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curriculumOrder(spark, dir)
+      .select($"position", $"doc_id", $"source", $"rs", $"score")
       .orderBy($"position".asc_nulls_first)
       .limit(20)
+  }
+
+  /** L89 — shard manifest: the writer-side audit of [[qCurriculum]]'s
+    * order — cut the position sequence into 100-doc shards (exactly
+    * what a repartitionByRange(position) write produces) and emit
+    * per shard what a training loader's manifest records: docs,
+    * token budget, distinct sources, and the difficulty band
+    * [min, max] score. The claims a curriculum makes — every shard a
+    * balanced mix, difficulty monotone across shards — become
+    * checkable numbers (here: every full shard carries all 20
+    * sources and the score bands descend). One arithmetic bucket +
+    * one hash-agg over the order table; min/max of already-4dp
+    * scores pick existing values, nothing re-rounds. */
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curriculumOrder(spark, dir)
+      .groupBy(expr("position div 100").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"source").as("n_sources"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .orderBy($"shard".asc_nulls_first)
   }
 
   /** [EXT] token counting: whitespace tokens + a BPE-ish regex pass
@@ -2014,6 +2046,7 @@ object Text {
     "q_lang_confusion" -> (qLangConfusion _),
     "q_quality_score" -> (qQualityScore _),
     "q_curriculum" -> (qCurriculum _),
+    "q_shard_manifest" -> (qShardManifest _),
     "q_token_count" -> (qTokenCount _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_bpe_merges" -> (qBpeMerges _),
@@ -2350,6 +2383,32 @@ object Text {
         |FROM r
         |ORDER BY position ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(trim(lower(text)), ' +') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, len(tk) AS n_tokens,
+        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
+        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
+        |      AS stop_ratio
+        |  FROM t),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |  FROM m),
+        |r AS (SELECT source, score, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS rs,
+        |    CAST(substring(source, 4) AS INT) AS si
+        |  FROM s)
+        |SELECT ((rs - 1) * 20 + si) // 100 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(score) AS min_score,
+        |  max(score) AS max_score
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY shard ASC NULLS FIRST""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), ' +')) AS ws_tokens,
