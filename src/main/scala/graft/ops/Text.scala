@@ -1027,6 +1027,46 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L90 — dedup threshold yield curve: how many candidate pairs
+    * survive (and how many distinct docs would drop) at each Jaccard
+    * cutoff from 0.5 to 0.9 — the calibration a dedup deployment
+    * reads BEFORE committing to a threshold (q_lsh_neardup ships
+    * 0.9; this is the curve that justified it). Same star-reduced
+    * (keeper, member) candidate set and exact-Jaccard scoring as
+    * q_lsh_neardup — ONE scoring pass feeds all five cutoffs via a
+    * 5-row explode + conditional counts, never five passes. Fully
+    * integer decisions: the 4dp Jaccard quantizes to u4 units
+    * (round-to-int of an identical double) and thresholds are
+    * integer constants, so no float comparison can tie-break
+    * differently across engines. */
+  def qDedupYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+    val rep = sig.groupBy($"band").agg(min($"doc_id").as("rep_id"))
+    val cand = sig.join(rep, "band")
+      .filter($"doc_id" =!= $"rep_id")
+      .select($"rep_id".as("da"), $"doc_id".as("db"))
+    val t = docTokens(spark, dir)
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val j = cand
+      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
+      .join(t.alias("tb"),
+        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .select($"db",
+        round(round($"inter" / ($"na" + $"nb" - $"inter"), 4) * 10000)
+          .cast("long").as("j_u4"))
+    j.select($"db", $"j_u4",
+        explode(array((5 to 9).map(i => lit(i * 1000L)): _*)).as("threshold_u4"))
+      .filter($"j_u4" >= $"threshold_u4")
+      .groupBy($"threshold_u4")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"db").as("n_dropped"))
+      .orderBy($"threshold_u4".asc_nulls_first)
+  }
+
   /** L71 — INCREMENTAL dedup: vet an incoming batch against the
     * standing corpus's dedup indexes without re-pairing the corpus —
     * the CDC shape a production pipeline runs daily (reference
@@ -2062,6 +2102,7 @@ object Text {
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_neardup" -> (qLshNeardup _),
+    "q_dedup_yield" -> (qDedupYield _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_dedup_modality" -> (qDedupModality _),
@@ -2720,6 +2761,42 @@ object Text {
         |SELECT da, db, jaccard FROM j
         |WHERE jaccard >= 0.9
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_dedup_yield" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |rep AS (SELECT band, min(doc_id) AS rep_id FROM b GROUP BY band),
+        |cand AS (SELECT r.rep_id AS da, x.doc_id AS db
+        |  FROM b x JOIN rep r ON x.band = r.band
+        |  WHERE x.doc_id <> r.rep_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS inter
+        |  FROM cand c
+        |  JOIN t ta ON c.da = ta.doc_id
+        |  JOIN t tb ON c.db = tb.doc_id AND ta.tok = tb.tok
+        |  GROUP BY c.da, c.db),
+        |ju AS (SELECT db, CAST(round(
+        |    round(inter / (sa.n + sb.n - inter), 4) * 10000) AS BIGINT)
+        |    AS j_u4
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id),
+        |th AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS threshold_u4)
+        |SELECT th.threshold_u4, count(*) AS n_pairs,
+        |  count(DISTINCT db) AS n_dropped
+        |FROM ju CROSS JOIN th
+        |WHERE ju.j_u4 >= th.threshold_u4
+        |GROUP BY th.threshold_u4
+        |ORDER BY threshold_u4 ASC NULLS FIRST""".stripMargin,
     "q_simhash" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
