@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities (SURVEY.md §4.3: "skewed keys → salting
@@ -121,5 +122,125 @@ object Skew {
       .filter(col("a_" + id) < col("b_" + id))
       .select(out: _*)
     smallPairs.union(bigPairs)
+  }
+
+  /** Two-phase global ranking machinery for the OTHER window skew:
+    * a partition key with BOUNDED cardinality (source ≈ 20, lang ≈ 5,
+    * a literal) over UNBOUNDED fact/doc-grain rows. A plain
+    * `row_number().over(Window.partitionBy(key))` funnels every row
+    * of a key into ONE task's sort — fine at sf0.1, a single task
+    * sorting billions of rows at the 100 TB design point (the same
+    * single-task failure class the r11 star reduction retired from
+    * the dedup family, resurfacing in WindowExec).
+    *
+    * Mechanism (classic distributed rank):
+    *  1. `repartitionByRange(key, orderCols…)` splits each key's rows
+    *     across the session's shuffle width while RESPECTING the
+    *     total order — every range partition holds a contiguous slice
+    *     of the (key, order) sequence, so
+    *  2. a local window per (key, range-id) ranks/sums each slice —
+    *     max task input = |rows| / ranges, never |rows| per key — and
+    *  3. the per-(key, range) row counts (a ≤ |keys|·ranges-row
+    *     table) turn into prefix offsets via a window ORDERED BY
+    *     range-id (bounded by the range count, never the data), and
+    *     global = local + broadcast-joined offset.
+    *
+    * Correctness does not depend on WHERE the sampled range
+    * boundaries land (AQE may coalesce adjacent ranges freely): any
+    * split that respects the total order yields the same
+    * local+offset sum, and every call site orders by a TOTAL order
+    * (unique tie-break column), so equal-key straddling cannot
+    * reorder rows. The ranged scan is localCheckpointed so the
+    * local-rank branch and the offset branch read the SAME partition
+    * assignment.
+    *
+    * The offsets broadcast is bounded by |key values| · |ranges| —
+    * deployment parameters (key cardinality is the helper's
+    * contract; ranges = shuffle width), never SF — the same
+    * whitelist class as centroid metadata.
+    *
+    * `__rpid` is the helper's marker column: the plan-shape sweep
+    * (OpsSpec window-cardinality test) recognizes phase-2 windows by
+    * it and exempts them. */
+  private def rangedByKey(df: DataFrame, keys: Seq[String],
+                          order: Seq[Column]): DataFrame = {
+    val ranges = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(ranges, keys.map(col) ++ order: _*)
+      .withColumn("__rpid", spark_partition_id())
+      .localCheckpoint(eager = false)
+  }
+
+  /** Global `row_number()` per `keys` in `order` (LONG column
+    * `rnCol`), computed in two phases so no task ever sorts more
+    * than ~|rows|/ranges rows. `totCol`, when set, also attaches the
+    * per-key total row count (the `count(*) over (partition by key)`
+    * a rank-percentile pick needs — same broadcast, no extra pass).
+    * `order` must be a total order (unique tie-break) for the result
+    * to equal the single-window form. */
+  def scalableRank(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                   rnCol: String, totCol: Option[String] = None): DataFrame = {
+    val ranged = rangedByKey(df, keys, order)
+    val kc = keys.map(col)
+    val counts = ranged.groupBy(kc :+ col("__rpid"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wKey = Window.partitionBy(kc: _*)
+    val offsets0 = counts.withColumn("__off",
+      coalesce(sum(col("__c")).over(wKey.orderBy(col("__rpid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = totCol.fold(offsets0)(t =>
+      offsets0.withColumn(t, sum(col("__c")).over(wKey)))
+    val localW = Window.partitionBy(kc :+ col("__rpid"): _*).orderBy(order: _*)
+    ranged
+      .withColumn("__lrn", row_number().over(localW))
+      .join(broadcast(offsets.drop("__c")), keys :+ "__rpid")
+      .withColumn(rnCol, col("__off") + col("__lrn"))
+      .drop("__rpid", "__lrn", "__off")
+  }
+
+  /** Global running sum of `value` per `keys` in `order` (frame
+    * = unbounded preceding → current row, inclusive), two-phase:
+    * local running sums per (key, range) + broadcast per-range value
+    * totals as prefix offsets. Same total-order requirement and
+    * scale shape as [[scalableRank]]. */
+  def scalableCumsum(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                     value: Column, outCol: String): DataFrame = {
+    val ranged = rangedByKey(df.withColumn("__v", value), keys, order)
+    val kc = keys.map(col)
+    val sums = ranged.groupBy(kc :+ col("__rpid"): _*)
+      .agg(sum(col("__v")).as("__s"))
+    val offsets = sums.withColumn("__off",
+      coalesce(sum(col("__s")).over(Window.partitionBy(kc: _*)
+        .orderBy(col("__rpid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val localW = Window.partitionBy(kc :+ col("__rpid"): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("__lcs", sum(col("__v")).over(localW))
+      .join(broadcast(offsets.drop("__s")), keys :+ "__rpid")
+      .withColumn(outCol, col("__off") + col("__lcs"))
+      .drop("__rpid", "__lcs", "__off", "__v")
+  }
+
+  /** Global `ntile(n)` per `keys` in `order` (INT column `outCol`),
+    * derived arithmetically from the two-phase rank + per-key total:
+    * with q = tot div n and r = tot % n, SQL ntile fills the first r
+    * buckets with q+1 rows and the rest with q — so
+    * bucket = ceil(rn / (q+1)) while rn ≤ r·(q+1), else
+    * r + ceil((rn − r·(q+1)) / q). Pure integer math on (rn, tot);
+    * exactly Spark's (and DuckDB's) NTile for any n, including
+    * n > tot (every row its own bucket; the q = 0 case never reaches
+    * the else branch because r·(q+1) = tot bounds rn). */
+  def scalableNtile(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                    n: Int, outCol: String): DataFrame = {
+    scalableRank(df, keys, order, "__grn", Some("__gtot"))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __grn <= (__gtot % $n) * ((__gtot div $n) + 1)
+           |THEN (__grn + (__gtot div $n)) div ((__gtot div $n) + 1)
+           |ELSE (__gtot % $n) +
+           |  (__grn - (__gtot % $n) * ((__gtot div $n) + 1)
+           |    + (__gtot div $n) - 1) div (__gtot div $n)
+           |END""".stripMargin).cast("int"))
+      .drop("__grn", "__gtot")
   }
 }

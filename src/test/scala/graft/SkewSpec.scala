@@ -137,6 +137,89 @@ class SkewSpec extends SparkSuite with Matchers {
     }
   }
 
+  /** The r11 verdict's LAST systemic scale gap: bounded-cardinality
+    * window partitions at unbounded row grain. The two-phase helpers
+    * must be VALUE-identical to the single-window forms (row_number /
+    * running sum / ntile) at any shuffle width — including widths
+    * that force a key's rows across many range partitions, the case
+    * the mechanism exists for. */
+  test("scalableRank/Cumsum/Ntile equal the single-window forms at any shuffle width") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val order = Seq($"n_chars".desc, $"doc_id".asc)
+    val w = Window.partitionBy($"source").orderBy(order: _*)
+    val direct = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"n_chars".cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nt7", ntile(7).over(w))
+      .withColumn("nt10", ntile(10).over(w))
+      // n > rows-per-source: every row its own bucket
+      .withColumn("nt9999", ntile(9999).over(w))
+      .withColumn("tot", count(lit(1)).over(Window.partitionBy($"source")))
+      .select($"doc_id", $"rn", $"cum", $"nt7", $"nt10", $"nt9999", $"tot")
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq("3", before)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val ranked = Skew.scalableRank(docs, Seq("source"), order,
+          "rn", Some("tot"))
+        val two = Skew.scalableNtile(
+          Skew.scalableNtile(
+            Skew.scalableNtile(
+              Skew.scalableCumsum(ranked, Seq("source"), order,
+                $"n_chars".cast("long"), "cum"),
+              Seq("source"), order, 7, "nt7"),
+            Seq("source"), order, 10, "nt10"),
+          Seq("source"), order, 9999, "nt9999")
+          .select($"doc_id", $"rn", $"cum",
+            $"nt7", $"nt10", $"nt9999", $"tot")
+          .orderBy($"doc_id").collect().map(_.toSeq)
+        withClue(s"shuffle.partitions=$parts: ") { two shouldBe direct }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  /** The mechanism's point: no task ever SORTS a whole key. The
+    * phase-1 window must be partitioned by (key, __rpid), never by
+    * the key alone — asserted on the physical plan so a refactor
+    * cannot quietly fall back to the single-task shape. */
+  test("scalableRank phase-1 window partitions by (key, range-id)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    val df = Skew.scalableRank(docs, Seq("source"), Seq($"doc_id".asc), "rn")
+    val windows = unwrap(df.queryExecution.executedPlan).collect {
+      case we: WindowExec =>
+        (we.partitionSpec.map(_.toString), we.orderSpec.map(_.toString))
+    }
+    windows should not be empty
+    windows.foreach { case (parts, order) =>
+      if (parts.exists(_.contains("__rpid"))) {
+        // phase-1: the doc-grain rank window — key AND range marker,
+        // so max task input is |rows|/ranges, never a whole key
+        parts.size should be >= 2
+      } else {
+        // the only key-only window allowed is the offsets prefix sum,
+        // which runs over the per-range COUNT table (≤ ranges rows
+        // per key) and is recognizable by its ORDER BY range-id
+        withClue(s"unexpected key-only window over ($parts, $order): ") {
+          order.exists(_.contains("__rpid")) shouldBe true
+        }
+      }
+    }
+    windows.count(_._1.exists(_.contains("__rpid"))) should be >= 1
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     val confs = Seq(
