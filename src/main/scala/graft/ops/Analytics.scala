@@ -1016,10 +1016,11 @@ object Analytics {
     * ((max·100) div (rows div keys) — max·100 is rows-per-hottest-
     * key-scaled, safe at any scale, unlike max·keys·100 which
     * overflows int64 on a billion-key table with a giant hot key).
-    * Plan: three map-side-combinable count aggs; the windows rank
-    * the per-key COUNT tables (index-sized, never the fact rows) —
-    * the same cardinality a skew-stats pass costs at 100 TB.
-    * All-integer output, zero tie surface. */
+    * Plan: three map-side-combinable count aggs; the rank over the
+    * per-key COUNT table (index-sized, never the fact rows) is the
+    * two-phase [[graft.ops.Skew.scalableRank]], so a billion-key
+    * count table ranks across the cluster's ranges instead of one
+    * task per key_name. All-integer output, zero tie surface. */
   def qSkewStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def keyCounts(df: DataFrame, keyCol: String, nm: String): DataFrame =
@@ -1029,11 +1030,16 @@ object Analytics {
     val all = keyCounts(Tables.lineitem(spark, dir), "l_suppkey", "lineitem.l_suppkey")
       .unionByName(keyCounts(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
       .unionByName(keyCounts(Tables.events(spark, dir), "user_id", "events.user_id"))
-    val w = Window.partitionBy($"key_name")
-    all
-      .withColumn("rn", row_number().over(w.orderBy($"c".asc, $"k".asc)))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("tot", sum($"c").over(w))
+    // two-phase rank (r12): key_name has exactly 3 values, so a
+    // key_name-partitioned window would sort one join key's ENTIRE
+    // per-key count table (1B rows at 1B distinct custkeys) on one
+    // task — the skew audit must not itself be the skewed plan. The
+    // (n, tot) stats are one map-side-combinable 3-row agg that
+    // Catalyst auto-broadcasts back (corpus-derived — never hinted).
+    val stats = all.groupBy($"key_name")
+      .agg(count(lit(1)).as("n"), sum($"c").as("tot"))
+    Skew.scalableRank(all, Seq("key_name"), Seq($"c".asc, $"k".asc), "rn")
+      .join(stats, "key_name")
       .filter($"rn" === expr("(50 * n + 99) div 100") ||
         $"rn" === expr("(99 * n + 99) div 100") || $"rn" === $"n")
       .groupBy($"key_name")

@@ -690,12 +690,17 @@ object Corpus {
     * live at source grain (≤ |sources| rows — the rank is computed
     * by a bounded self-join count rather than an unpartitioned
     * window, keeping the no-global-window contract); the quota table
-    * is a true broadcast dim. Doc-grain work is ONE source-
-    * partitioned hash-rank window + the dim join — the q_ppl_bucket
-    * shape. At 100 TB a giant source's rank window would prefilter
-    * candidates by a u16 threshold at ~4× the quota fraction before
-    * ranking (probabilistic bound, verified by count) — documented
-    * here, exact form kept as the oracle parity contract. Output is
+    * is a true broadcast dim. Doc-grain work (r12): candidates are
+    * PREFILTERED by a u16 sha-prefix threshold at 4× each source's
+    * quota fraction — u16 is the integer value of the first 4 hex
+    * chars, so `u16 ≤ T` keeps a PREFIX of the (sha asc, doc_id asc)
+    * selection order and cannot change which docs rank first — and
+    * the bound is VERIFIED by count per source: a source whose
+    * survivor count falls short of its quota (binomial tail,
+    * p < 10⁻⁶ at 4×) falls back to ranking all its rows, so the
+    * output is exact, never probabilistic. The rank itself is
+    * [[Skew.scalableRank]]'s two-phase form, so even the fallback
+    * never sorts a whole source on one task. Output is
     * the selected docs, all-integer: exactly B rows whenever every
     * source can fill its quota, which Hamilton guarantees for
     * B ≤ N/2 (quota ≤ ⌊B·n_s/N⌋+1 ≤ n_s then) — true by orders of
@@ -722,14 +727,28 @@ object Corpus {
       .agg((count($"bs") + 1).as("rr"))
     val leftover = alloc.agg((lit(budget) - sum($"base")).as("extra"))
     val quota = rr.crossJoin(broadcast(leftover))
-      .select($"source",
+      .select($"source", $"n_s",
         ($"base" + when($"rr" <= $"extra", 1L).otherwise(0L)).as("quota"))
-    val w = Window.partitionBy($"source")
-      .orderBy(sha2($"doc_id".cast("string"), 256).asc, $"doc_id".asc)
-    docs.withColumn("rk", row_number().over(w))
+      // T = 65536·4·quota/n_s, capped: the u16 threshold that keeps
+      // ~4× the quota fraction of each source's docs as candidates
+      .withColumn("t_u16",
+        least(lit(65535L), expr("(262144 * quota) div n_s")))
+    val sha = docs
+      .withColumn("sha", sha2($"doc_id".cast("string"), 256))
+      .withColumn("u16", expr("CAST(conv(substring(sha, 1, 4), 16, 10) AS BIGINT)"))
       .join(quota, "source")
+    // count-verified prefilter: a source keeps only its u16-prefix
+    // candidates when enough survive to fill the quota; otherwise it
+    // ranks all rows (exactness never depends on the tail bound)
+    val surv = sha.filter($"u16" <= $"t_u16")
+      .groupBy($"source").agg(count(lit(1)).as("n_surv"))
+    val cand = sha.join(surv, Seq("source"), "left")
+      .filter(coalesce($"n_surv", lit(0L)) < $"quota" || $"u16" <= $"t_u16")
+    Skew.scalableRank(
+        cand.select($"doc_id", $"source", $"sha", $"quota"),
+        Seq("source"), Seq($"sha".asc, $"doc_id".asc), "rk")
       .filter($"rk" <= $"quota")
-      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .select($"doc_id", $"source", $"rk")
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -861,19 +880,18 @@ object Corpus {
     * percentile picked by INTEGER rank — rank ceil(p·n) computed as
     * (p·n + 99) div 100 in pure integer math, deterministic under
     * ties via (n_chars, doc_id) ordering — so no interpolation float
-    * can straddle an engine ulp. Two lang-partitioned windows (rank +
-    * count) over (doc_id, lang, n_chars) triples, then the per-lang
-    * bounds re-join the metadata — a #langs-row table Catalyst
-    * auto-broadcasts without a hint. Bodies never move. */
+    * can straddle an engine ulp. The rank + per-lang count are
+    * [[Skew.scalableRank]]'s two-phase form (r12): ~5 langs over all
+    * docs is the bounded-key window shape that would sort a whole
+    * language on one task at 100 TB. The per-lang bounds re-join the
+    * metadata — a #langs-row table Catalyst auto-broadcasts without
+    * a hint. Bodies never move. */
   def qLengthTrim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val meta = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"n_chars")
-    val w = Window.partitionBy($"lang")
-    val ranked = meta
-      .withColumn("rn",
-        row_number().over(w.orderBy($"n_chars".asc, $"doc_id".asc)))
-      .withColumn("n", count(lit(1)).over(w))
+    val ranked = Skew.scalableRank(meta, Seq("lang"),
+      Seq($"n_chars".asc, $"doc_id".asc), "rn", Some("n"))
     val bounds = ranked
       .filter($"rn" === expr("(5 * n + 99) div 100") ||
         $"rn" === expr("(95 * n + 99) div 100"))
@@ -964,10 +982,10 @@ object Corpus {
     * Plan shape: one vocabulary-keyed count agg + scalar-broadcast
     * total + UNHINTED vocab re-join (corpus-derived — never hinted)
     * + one doc-keyed exact integer-term sum — q_unigram_lm's plan —
-    * then ntile over a source-partitioned window (q_rfm's accepted
-    * shape: no unpartitioned window at any scale; each source ranks
-    * independently). Ordering inside the window is (integer score,
-    * doc_id) — a TOTAL order, so ntile is partition-count-invariant.
+    * then the two-phase [[Skew.scalableNtile]] (r12: each source's
+    * docs decile across the cluster's ranges, never one task's
+    * sort). Ordering is (integer score, doc_id) — a TOTAL order, so
+    * the derived ntile is partition-count-invariant.
     *
     * Float discipline: per-token log-probs are quantized to integer
     * pico-nats and summed exactly (see e12), then the per-doc score
@@ -995,10 +1013,12 @@ object Corpus {
       .select($"doc_id", $"source",
         round($"s_e12".cast("double") / $"n_toks" / lit(1000000.0d))
           .cast("long").as("score_e6"))
-    val w = Window.partitionBy($"source")
-      .orderBy($"score_e6".asc_nulls_first, $"doc_id".asc_nulls_first)
-    scored
-      .withColumn("decile", ntile(10).over(w))
+    // two-phase ntile (r12): a source-partitioned ntile sorts each
+    // source's whole doc set on one task at 100 TB; scalableNtile
+    // derives the identical bucket from the two-phase rank
+    Skew.scalableNtile(scored, Seq("source"),
+        Seq($"score_e6".asc_nulls_first, $"doc_id".asc_nulls_first),
+        10, "decile")
       .groupBy($"source", $"decile")
       .agg(count(lit(1)).as("n_docs"),
         sum($"score_e6").as("sum_logp_e6"))

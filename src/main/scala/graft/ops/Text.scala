@@ -283,14 +283,17 @@ object Text {
     * budget is not yet exhausted BEFORE it (cum − own < budget), so
     * the document that crosses the line is included and fills the
     * budget. Integer-only output; the (n_toks DESC, doc_id ASC)
-    * ordering is total, so RANGE/ROWS framing agree on both engines. */
+    * ordering is total, so RANGE/ROWS framing agree on both engines.
+    * The running sum is [[Skew.scalableCumsum]] (r12): lang has ~5
+    * values, so a lang-partitioned window would sort each language's
+    * whole doc set on one task at 100 TB; the two-phase form caps
+    * task input at |docs|/ranges. */
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang")
-      .orderBy($"n_toks".desc, $"doc_id".asc)
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select($"lang", $"doc_id", size(toks($"text")).cast("long").as("n_toks"))
-      .withColumn("cum", sum($"n_toks").over(w))
+    Skew.scalableCumsum(base, Seq("lang"),
+        Seq($"n_toks".desc, $"doc_id".asc), $"n_toks", "cum")
       .filter($"cum" - $"n_toks" < 1500)
       .select($"lang", $"doc_id", $"n_toks", $"cum")
       .orderBy($"lang".asc_nulls_first, $"doc_id".asc_nulls_first)
@@ -443,9 +446,11 @@ object Text {
     * position then interleaves sources ARITHMETICALLY —
     * (rank−1)·20 + source_index — so every contiguous position
     * range (= every training shard) holds an equal source mix and a
-    * narrow difficulty band. NO global window: per-source windows
-    * rank, arithmetic places — at 100 TB the order is a
-    * repartitionByRange(position) write away, and position is
+    * narrow difficulty band. NO global window AND no whole-source
+    * window: the per-source rank is [[Skew.scalableRank]] (r12), so
+    * the biggest source's docs sort across the cluster's ranges
+    * instead of one task, and the arithmetic placement keeps the
+    * 100 TB write a repartitionByRange(position) away with position
     * computable per row. Emits the first 20 positions (one full
     * round of the 20 sources) via orderBy+limit →
     * TakeOrderedAndProject, never a global sort. */
@@ -464,9 +469,11 @@ object Text {
       .withColumn("score",
         round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
       .select($"doc_id", $"source", $"score", $"n_tokens")
-    val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id".asc)
-    scored
-      .withColumn("rs", row_number().over(w))
+    // two-phase rank (r12): ~20 sources over all docs is the
+    // bounded-key/unbounded-rows window shape — scalableRank caps
+    // any task's sort at |docs|/ranges instead of |docs|/20
+    Skew.scalableRank(scored, Seq("source"),
+        Seq($"score".desc, $"doc_id".asc), "rs")
       .withColumn("si", expr("CAST(substring(source, 4) AS INT)"))
       .select((($"rs" - 1) * lit(20) + $"si").as("position"),
         $"doc_id", $"source", $"rs", $"score", $"n_tokens")

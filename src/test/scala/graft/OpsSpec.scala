@@ -249,6 +249,14 @@ class OpsSpec extends SparkSuite with Matchers {
       // (corpus total, leftover-seat count); its quota table is a
       // source-grain dim left to Catalyst sizing
       "q_budget_sample",
+      // the Skew.scalableRank/Ntile/Cumsum family: the only hinted
+      // table is the helper's per-(key, range) prefix-offset table —
+      // ≤ |key values|·|shuffle ranges| rows, bounded by the helper's
+      // bounded-cardinality-key contract and the cluster width, never
+      // by SF (q_ppl_bucket and q_budget_sample also ride the helper;
+      // they are whitelisted above for their own scalar hints)
+      "q_skew_stats", "q_curriculum", "q_shard_manifest",
+      "q_length_trim", "q_token_budget",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",

@@ -69,7 +69,12 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_bm25",            // per-term pico-round sums + integer rank cut
     "q_mrl_recall",      // two rank windows over rounded sims
     "q_ndcg",            // rank-gated gain sums over two windows
-    "q_skew_stats")      // ceiling-rank picks on per-key count ties
+    "q_skew_stats",      // ceiling-rank picks on per-key count ties
+    "q_rrf_fusion",      // two rank legs + full-outer fuse
+    "q_curriculum",      // two-phase per-source rank → position
+    "q_shard_manifest",  // shard cuts over the two-phase rank
+    "q_dedup_yield",     // threshold counts over star-pair jaccards
+    "q_token_budget")    // two-phase running sum → budget cut
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
