@@ -862,12 +862,11 @@ object Analytics {
       .select($"event_id", $"event_type",
         ($"ts_us" - lag($"ts_us", 1).over(wu)).as("gap_us"))
       .filter($"gap_us".isNotNull)
-    val wt = Window.partitionBy($"event_type")
-    val ranked = gaps
-      .withColumn("rn",
-        row_number().over(wt.orderBy($"gap_us".asc, $"event_id".asc)))
-      .withColumn("n", count(lit(1)).over(wt))
-    ranked
+    // two-phase rank (r12): event_type is bounded-cardinality over
+    // fact-grain gaps — scalableRank keeps any task's sort at
+    // |gaps|/ranges instead of a whole type
+    Skew.scalableRank(gaps, Seq("event_type"),
+        Seq($"gap_us".asc, $"event_id".asc), "rn", Some("n"))
       .filter($"rn" === expr("(50 * n + 99) div 100") ||
         $"rn" === expr("(90 * n + 99) div 100") ||
         $"rn" === expr("(99 * n + 99) div 100"))
@@ -894,11 +893,10 @@ object Analytics {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"value")
-    val wt = Window.partitionBy($"event_type")
-    val ranked = ev
-      .withColumn("rn",
-        row_number().over(wt.orderBy($"value".asc, $"event_id".asc)))
-      .withColumn("n", count(lit(1)).over(wt))
+    // two-phase rank (r12): same bounded-key/fact-grain shape as
+    // q_gap_percentiles — no whole-type single-task sort
+    val ranked = Skew.scalableRank(ev, Seq("event_type"),
+      Seq($"value".asc, $"event_id".asc), "rn", Some("n"))
     val bounds = ranked
       .filter($"rn" === expr("(5 * n + 99) div 100") ||
         $"rn" === expr("(95 * n + 99) div 100"))

@@ -501,19 +501,21 @@ object Corpus {
     * start offset is an exclusive running sum of token counts
     * (window, ROWS UNBOUNDED PRECEDING), from which its sequence id
     * and offset are pure integer arithmetic — exact on any engine.
-    * At 100 TB packing is per (source, shard) exactly like this
-    * per-source window: one shuffle on the partition key, sort within
-    * partition, no global coordination — shards pack independently
-    * and seq ids are made globally unique by prefixing the shard id. */
+    * At 100 TB the offsets come from [[Skew.scalableCumsum]] (r12):
+    * each source's stream splits across the cluster's ranges with
+    * broadcast prefix offsets, no whole-source single-task sort, no
+    * global coordination — and seq ids stay globally unique because
+    * the budget arithmetic is per source. */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val budget = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id".asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select($"doc_id", $"source", size(toks($"text")).cast("long").as("n_tok"))
-      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+    // two-phase running sum (r12): a source's whole stream no longer
+    // sorts on one task; the exclusive offset is cum − own
+    Skew.scalableCumsum(base, Seq("source"), Seq($"doc_id".asc),
+        $"n_tok", "cum")
+      .withColumn("start_off", $"cum" - $"n_tok")
       .select($"doc_id", $"source", $"n_tok",
         floor($"start_off" / budget).as("seq_id"),
         ($"start_off" % budget).as("seq_off"))
@@ -756,20 +758,21 @@ object Corpus {
     * NEW tokens each document introduces to its source's stream, and
     * the running vocabulary size. Two hash-aggs (token→first doc,
     * then doc→new-token count) shrink the data to vocabulary
-    * cardinality BEFORE the window; the running sum is partitioned by
-    * source, so no single-partition global window exists at any
-    * scale — each source's curve accumulates independently, exactly
-    * how a per-domain ingest monitor would run it. All integers. */
+    * cardinality BEFORE the accumulation; the running sum is the
+    * two-phase [[Skew.scalableCumsum]] (r12) keyed by source, so no
+    * single task ever holds a whole source's curve — exactly how a
+    * per-domain ingest monitor would run it. All integers. */
   def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"first_doc".asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
       .select($"source", $"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
       .groupBy($"source", $"tok").agg(min($"doc_id").as("first_doc"))
       .groupBy($"source", $"first_doc").agg(count(lit(1)).as("new_toks"))
-      .withColumn("vocab_size", sum($"new_toks").over(w))
+    // two-phase running sum (r12): the curve table is doc grain (one
+    // row per vocabulary-introducing doc), so the per-source
+    // accumulation rides scalableCumsum, not a whole-source sort
+    Skew.scalableCumsum(perDoc, Seq("source"), Seq($"first_doc".asc),
+        $"new_toks", "vocab_size")
       .select($"source", $"first_doc".as("doc_id"), $"new_toks", $"vocab_size")
       .orderBy($"source".asc_nulls_first, $"doc_id".asc_nulls_first)
   }

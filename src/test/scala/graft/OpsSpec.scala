@@ -256,7 +256,8 @@ class OpsSpec extends SparkSuite with Matchers {
       // by SF (q_ppl_bucket and q_budget_sample also ride the helper;
       // they are whitelisted above for their own scalar hints)
       "q_skew_stats", "q_curriculum", "q_shard_manifest",
-      "q_length_trim", "q_token_budget",
+      "q_length_trim", "q_token_budget", "q_gap_percentiles",
+      "q_winsorized_stats", "q_pack_sequences", "q_vocab_growth",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",
@@ -300,6 +301,51 @@ class OpsSpec extends SparkSuite with Matchers {
     withClue(s"unadjudicated hints: ${(hinted -- whitelist).toSeq.sorted}; " +
       s"stale whitelist rows: ${(whitelist -- hinted).toSeq.sorted}: ") {
       hinted shouldBe whitelist
+    }
+  }
+
+  test("window-cardinality sweep: no full-partition window keyed only by bounded-cardinality columns") {
+    // The r11 verdict's systemic gap, turned into a standing guard
+    // (the hint-whitelist precedent): a WindowExec partitioned ONLY
+    // by bounded-cardinality columns (source ≈ 20, lang ≈ 5,
+    // key_name = 3, segment = 5, split = 3, event_type, layout — or
+    // a literal) funnels 1/|values| of its input through ONE task's
+    // sort. That is fine when the input is already aggregated to a
+    // bounded grain, fatal when it is doc/fact grain at 100 TB. Two
+    // structural exemptions, then every remaining hit must be
+    // adjudicated below with its bounded-input justification:
+    //  - a WindowGroupLimit below the window (Spark 4 pushes a
+    //    partial top-k below the shuffle for rank-cut filters, e.g.
+    //    q_zipf_slope's rnk <= 100) bounds the sorted rows;
+    //  - a child carrying the Skew.scalableRank `__rpid` marker is
+    //    the helper's phase-2 prefix-offset window, which runs over
+    //    the per-(key, range) COUNT table (≤ ranges rows per key).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val bounded = Set("source", "lang", "key_name", "segment", "split",
+      "event_type", "layout")
+    val adjudicated: Set[String] = Set()
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val exec = unwrap(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      exec.collectFirst {
+        case w: WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(a => bounded(a.name))) &&
+            !w.child.output.exists(_.name == "__rpid") &&
+            w.child.collectFirst { case g: WindowGroupLimitExec => g }.isEmpty =>
+          w
+      }.isDefined
+    }.toSet
+    withClue(s"unadjudicated bounded-key full-partition windows: " +
+      s"${(flagged -- adjudicated).toSeq.sorted}; stale adjudications: " +
+      s"${(adjudicated -- flagged).toSeq.sorted}: ") {
+      flagged shouldBe adjudicated
     }
   }
 
