@@ -285,9 +285,9 @@ object Corpus {
       .withColumn("r_lex", row_number().over(wLex))
       .filter($"r_lex" <= 20)
       .select($"q_id", $"doc_id", $"r_lex")
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("vec", transform($"embedding", x => x.cast("double")))
-      .withColumn("nrm", sqrt(expr("graft_dot(vec, vec)")))
+    // the ANN family's shared embedding→(vec, nrm) projection — one
+    // code path, not an inline copy (r11 advice)
+    val emb = Similarity.withVec(Tables.embeddings(spark, dir))
     val q = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("q_id"), $"label".as("q_label"),
         $"vec".as("qv"), $"nrm".as("qn"))
@@ -349,8 +349,14 @@ object Corpus {
       .groupBy($"q_id")
       .agg(sum(when($"r_lex" <= 10, gain($"r_lex")).otherwise(0L)).as("dcg_u12"),
         sum(when($"r_ideal" <= 10, gain($"r_ideal")).otherwise(0L)).as("idcg_u12"))
+      // idcg = 0 (a query whose whole candidate set grades rel = 0)
+      // would divide 0/0: Spark (non-ANSI) yields NULL, DuckDB IEEE
+      // NaN — emit NULL on both engines instead (CASE mirrored in
+      // the oracle). Cannot occur on the synthetic corpus (every
+      // query doc has same-source neighbors) but nothing enforces it.
       .withColumn("ndcg_at_10",
-        round($"dcg_u12".cast("double") / $"idcg_u12", 4))
+        when($"idcg_u12" > 0,
+          round($"dcg_u12".cast("double") / $"idcg_u12", 4)))
       .orderBy($"q_id".asc_nulls_first)
   }
 
@@ -1717,7 +1723,9 @@ object Corpus {
           |      ELSE 0 END) AS BIGINT) AS idcg_u12
           |  FROM ideal GROUP BY q_id)
           |SELECT d.q_id, d.dcg_u12, i.idcg_u12,
-          |  round(CAST(d.dcg_u12 AS DOUBLE) / i.idcg_u12, 4) AS ndcg_at_10
+          |  CASE WHEN i.idcg_u12 > 0
+          |    THEN round(CAST(d.dcg_u12 AS DOUBLE) / i.idcg_u12, 4)
+          |    END AS ndcg_at_10
           |FROM d JOIN i ON d.q_id = i.q_id
           |ORDER BY d.q_id ASC NULLS FIRST""".stripMargin),
     "q_heavy_hitters" ->

@@ -32,7 +32,7 @@ object Similarity {
     * (graft.functions.DotProduct) — same sequential summation order
     * as an aggregate∘zip_with fold, ~3× faster (no per-element
     * lambda dispatch, no intermediate array). */
-  private def withVec(df: DataFrame): DataFrame = df
+  private[ops] def withVec(df: DataFrame): DataFrame = df
     .withColumn("vec", transform(col("embedding"), x => x.cast("double")))
     .withColumn("nrm", sqrt(expr("graft_dot(vec, vec)")))
 

@@ -1012,26 +1012,45 @@ object Text {
     * aggregate on), intersection = count of shared tokens. */
   def qLshNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val rep = sig.groupBy($"band").agg(min($"doc_id").as("rep_id"))
-    val cand = sig.join(rep, "band")
-      .filter($"doc_id" =!= $"rep_id")
-      .select($"rep_id".as("da"), $"doc_id".as("db"))
-    val t = docTokens(spark, dir) // memoized set table, shared family-wide
-    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
-      .join(t.alias("tb"),
-        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
-      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+    starScores(spark, dir)
       .filter($"jaccard" >= 0.9)
       .select($"da", $"db", $"jaccard")
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
+  }
+
+  private val starCache = newMemoCache()
+
+  /** The star-reduced LSH candidate set, exact-Jaccard scored — ONE
+    * code path (and one memoized computation per (session, dir))
+    * feeding both [[qLshNeardup]] (the ≥0.9 decision surface) and
+    * [[qDedupYield]] (the threshold yield curve that calibrated it):
+    * the r11 verdict flagged the two verbatim copies as a silent-
+    * divergence hazard. Candidates are (band representative = min
+    * doc_id, member) edges — k−1 per bucket, never the k(k−1)/2 pair
+    * surface; each side's token set attaches by doc-id equi-join on
+    * the memoized [[docTokens]] table and jaccard = |∩|/|∪| rounds
+    * once at 4dp. */
+  private def starScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    memoized(starCache, spark, dir) {
+      val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+      val rep = sig.groupBy($"band").agg(min($"doc_id").as("rep_id"))
+      val cand = sig.join(rep, "band")
+        .filter($"doc_id" =!= $"rep_id")
+        .select($"rep_id".as("da"), $"doc_id".as("db"))
+      val t = docTokens(spark, dir) // memoized set table, shared family-wide
+      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(t.alias("ta"), $"da" === col("ta.doc_id"))
+        .join(t.alias("tb"),
+          $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+        .groupBy($"da", $"db")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+        .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+        .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+        .localCheckpoint(eager = false)
+    }
   }
 
   /** L90 — dedup threshold yield curve: how many candidate pairs
@@ -1048,24 +1067,8 @@ object Text {
     * differently across engines. */
   def qDedupYield(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
-    val rep = sig.groupBy($"band").agg(min($"doc_id").as("rep_id"))
-    val cand = sig.join(rep, "band")
-      .filter($"doc_id" =!= $"rep_id")
-      .select($"rep_id".as("da"), $"doc_id".as("db"))
-    val t = docTokens(spark, dir)
-    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val j = cand
-      .join(t.alias("ta"), $"da" === col("ta.doc_id"))
-      .join(t.alias("tb"),
-        $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
-      .select($"db",
-        round(round($"inter" / ($"na" + $"nb" - $"inter"), 4) * 10000)
-          .cast("long").as("j_u4"))
+    val j = starScores(spark, dir)
+      .select($"db", round($"jaccard" * 10000).cast("long").as("j_u4"))
     j.select($"db", $"j_u4",
         explode(array((5 to 9).map(i => lit(i * 1000L)): _*)).as("threshold_u4"))
       .filter($"j_u4" >= $"threshold_u4")

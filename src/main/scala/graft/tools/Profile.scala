@@ -4,8 +4,10 @@ import graft.{GraftSession, SparkEntry}
 
 /** Dev profiler: time named queries (3 runs each, after a warmup) on
   * SPARK_GRAFT_SF_DIR; `-e` also prints the formatted physical plan.
-  * Separates real per-query cost from this host's noise spikes
-  * (same query varies 4-18 s run-to-run — see .claude/skills/verify).
+  * Separates real per-query cost from this host's noise spikes —
+  * the same query has measured anywhere from 0.4 s to 30 s
+  * run-to-run under neighbor load, so only minimums across runs are
+  * comparable.
   */
 object Profile {
   def main(args: Array[String]): Unit = {

@@ -78,10 +78,13 @@ class LayoutSpec extends SparkSuite with Matchers {
       rs.count { case (mn, mx) => mx >= lo && mn <= hi }
 
     // time-ordered files carry the value column unclustered: the
-    // band intersects (essentially) every file. Z-ordered files
-    // bound the value span per file, so most files' [min, max]
-    // misses the band entirely — the reader never opens them.
-    intersecting(tRanges) shouldBe tRanges.size
+    // band intersects (essentially) every file — a fraction bound,
+    // not exact equality, so an unlucky value distribution in one
+    // range partition can't fail the pruning CLAIM (r11 advice).
+    // Z-ordered files bound the value span per file, so most files'
+    // [min, max] misses the band entirely — the reader never opens
+    // them. The ≥0.9 vs ≤0.5 gap is the contrast being asserted.
+    intersecting(tRanges).toDouble should be >= tRanges.size * 0.9
     intersecting(zRanges).toDouble should be <= zRanges.size / 2.0
   }
 }
