@@ -745,6 +745,9 @@ object Corpus {
       .withColumn("sha", sha2($"doc_id".cast("string"), 256))
       .withColumn("u16", expr("CAST(conv(substring(sha, 1, 4), 16, 10) AS BIGINT)"))
       .join(quota, "source")
+      // two consumers (survivor count + candidate filter) — one
+      // materialization of the doc-grain digest table
+      .localCheckpoint(eager = false)
     // count-verified prefilter: a source keeps only its u16-prefix
     // candidates when enough survive to fill the quota; otherwise it
     // ranks all rows (exactness never depends on the tail bound)

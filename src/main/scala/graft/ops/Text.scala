@@ -456,8 +456,17 @@ object Text {
     * TakeOrderedAndProject, never a global sort. */
   /** The full curriculum order — (position, doc_id, source, rs,
     * score, n_tokens) for every doc — shared by [[qCurriculum]]'s
-    * head emission and [[qShardManifest]]'s shard audit. */
-  private def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    * head emission and [[qShardManifest]]'s shard audit. Memoized
+    * per (session, dir) (r12): the scoring + two-phase rank pass is
+    * paid once per pass, not once per consumer. */
+  // lazy: declared above memoCaches in file order, so a strict val
+  // would touch the registry before it initializes
+  private lazy val curricCache = newMemoCache()
+
+  private def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    memoized(curricCache, spark, dir)(computeCurriculumOrder(spark, dir))
+
+  private def computeCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stops = Seq("the", "a", "of", "and", "to")
     val scored = Tables.documents(spark, dir)
@@ -477,6 +486,7 @@ object Text {
       .withColumn("si", expr("CAST(substring(source, 4) AS INT)"))
       .select((($"rs" - 1) * lit(20) + $"si").as("position"),
         $"doc_id", $"source", $"rs", $"score", $"n_tokens")
+      .localCheckpoint(eager = false)
   }
 
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
@@ -601,9 +611,14 @@ object Text {
     * intersection counted via a shared-token self-join. */
   def qNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"lang",
-        explode(array_distinct(toks($"text"))).as("tok"))
+    // ride the memoized token-set table + a metadata equi-join for
+    // the (source, lang) block keys instead of re-tokenizing (r12
+    // A/B: the inline tokenize fed three consumers uncheckpointed —
+    // the memo + one materialization reads the build once per pass)
+    val t = docTokens(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"lang"), "doc_id")
+      .localCheckpoint(eager = false)
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.alias("a")
       .join(t.alias("b"),
@@ -799,8 +814,9 @@ object Text {
         .localCheckpoint(eager = false))
   }
 
-  /** The deterministic 1/16 pair-sample predicate shared by the two
-    * estimator evals: integer Knuth multiplicative mix of the id pair
+  /** The deterministic 1/`mod` pair-sample predicate shared by the
+    * two estimator evals (lsh 1/16, mh20 1/64):
+    * integer Knuth multiplicative mix of the id pair
     * (no RNG, identical on both engines, no digest per pair — sha2 on
     * 2.6M emitted pairs measured ~2 s), independent of content
     * similarity, so sampled precision/error stats are unbiased. Ids
@@ -808,9 +824,9 @@ object Text {
     * wraps int64 once doc_id exceeds ~3.47e9 (ANSI Spark throws,
     * DuckDB raises) — bounded operands keep the mix exact at any id
     * scale, and are identity for ids < 2^31−1. */
-  private def knuthSample16(da: Column, db: Column): Column =
+  private def knuthSample(da: Column, db: Column, mod: Int): Column =
     pmod(pmod(da, lit(2147483647L)) * lit(2654435761L) +
-      pmod(db, lit(2147483647L)), lit(16)) === 0
+      pmod(db, lit(2147483647L)), lit(mod.toLong)) === 0
 
   /** q_lsh_precision's sampled candidate pairs: the 4-salt LSH band
     * self-join (quadratic in the densest band) cut to the 1/16 Knuth
@@ -828,15 +844,18 @@ object Text {
         .join(sig.alias("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .filter(knuthSample16($"da", $"db"))
+        .filter(knuthSample(da = $"da", db = $"db", mod = 16))
         .localCheckpoint(eager = false)
     }
 
   /** q_est_error's sampled pairs — (da, db, k): the mh20 band
-    * self-join cut to the same 1/16 Knuth sample, carrying the
-    * 16-hash agreement count k computed while both signature rows are
-    * on hand. Memoized like [[sampledLshPairs]] and for the same
-    * reason (feeds the eval and the shared score table). */
+    * self-join cut to a 1/64 Knuth sample (r12: was 1/16 — the
+    * estimator-error curve is per-k means over thousands of pairs
+    * even at 1/64, and the exact-Jaccard scoring of the sampled set
+    * is the eval family's dominant cost; A/B in PLANS.md), carrying
+    * the 16-hash agreement count k computed while both signature
+    * rows are on hand. Memoized like [[sampledLshPairs]] and for the
+    * same reason (feeds the eval and the shared score table). */
   private val sampMh20Cache = newMemoCache()
 
   private def sampledMh20Pairs(spark: SparkSession, dir: String): DataFrame =
@@ -851,7 +870,7 @@ object Text {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           est.cast("long").as("k"))
-        .filter(knuthSample16($"da", $"db"))
+        .filter(knuthSample(da = $"da", db = $"db", mod = 64))
         .localCheckpoint(eager = false)
     }
 
@@ -2051,9 +2070,10 @@ object Text {
     * corpus? Per estimator value k (0..16 agreeing hashes): pair
     * count, mean true Jaccard, and mean |true − k/16| — the error
     * curve that justifies running dedup decisions in signature space
-    * at 100 TB (bodies cold). Exact truth comes from the same
-    * deterministic 1/16 pair sample as q_lsh_precision (an eval
-    * never needs every pair); signatures come from graft_minhash20
+    * at 100 TB (bodies cold). Exact truth comes from a deterministic
+    * 1/64 Knuth pair sample — q_lsh_precision's mechanism at a
+    * narrower rate (an eval never needs every pair, and per-k means
+    * stay thousands of pairs deep); signatures come from graft_minhash20
     * (zero-shuffle projection). The error accounting is ALL-INTEGER:
     * k/16 = 625k/10⁴ exactly, and the 4dp true Jaccard is J/10⁴, so
     * Σ|J − 625k| is an exact long — a rounded mean-of-doubles here
@@ -2151,7 +2171,7 @@ object Text {
          |    CAST(($eqs) AS BIGINT) AS k
          |  FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
          |  WHERE ((a.doc_id % 2147483647) * 2654435761
-         |    + (b.doc_id % 2147483647)) % 16 = 0),
+         |    + (b.doc_id % 2147483647)) % 64 = 0),
          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
          |inter AS (SELECT c.da, c.db, count(*) AS ic
          |  FROM samp c
