@@ -105,6 +105,57 @@ object SkewPropertySpec extends Properties("graft.skew") {
         }
     }
 
+  /** Integer-valued variant of [[rowsGen]]: the two-phase running
+    * sum reassociates addition across ranges, which is exact for
+    * longs (every production call site sums integer counts) but
+    * ulp-shifts a double fold — the property pins the integer
+    * contract against a PURE SCALA reference, independent of Spark's
+    * own window machinery. */
+  private val intRowsGen: Gen[List[(String, Long, Long)]] = for {
+    nHot <- Gen.choose(40, 120)
+    nCold <- Gen.choose(0, 25)
+    hotVals <- Gen.listOfN(nHot, Gen.choose(-1000L, 1000L))
+    coldRows <- Gen.listOfN(nCold,
+      Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.choose(-1000L, 1000L)))
+  } yield hotVals.zipWithIndex.map { case (v, i) => ("hot", v, i.toLong) } ++
+    coldRows.zipWithIndex.map { case ((k, v), i) => (k, v, (10000 + i).toLong) }
+
+  property("scalableRank/Ntile/Cumsum ≡ in-memory reference, any shuffle width") =
+    forAll(intRowsGen, Gen.oneOf(1, 3, 7)) { (rows, parts) =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val df = rows.toDF("k", "v", "id")
+        val order = Seq($"v".desc, $"id".asc)
+        val got = Skew.scalableNtile(
+            Skew.scalableCumsum(
+              Skew.scalableRank(df, Seq("k"), order, "rn", Some("tot")),
+              Seq("k"), order, $"v", "cum"),
+            Seq("k"), order, 3, "nt")
+          .select($"k", $"id", $"rn", $"tot", $"cum", $"nt")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+          .toMap
+        // reference: per-key sequential fold; ntile assigned by
+        // WALKING the bucket-size list (q + 1 for the first n % 3
+        // buckets), not by the helper's arithmetic formula
+        val ref = rows.groupBy(_._1).iterator.flatMap { case (k, g) =>
+          val sorted = g.sortBy(t => (-t._2, t._3))
+          val n = sorted.size
+          val ntiles = (0 until 3).flatMap(b =>
+            Seq.fill(n / 3 + (if (b < n % 3) 1 else 0))(b + 1))
+          val cums = sorted.scanLeft(0L)(_ + _._2).tail
+          sorted.zipWithIndex.map { case ((_, _, id), i) =>
+            (k, id) -> ((i + 1).toLong, n.toLong, cums(i), ntiles(i))
+          }
+        }.toMap
+        (got == ref) :| s"parts=$parts got=${got.size} ref=${ref.size}"
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+
   property("saltedJoin ≡ plain equi join under generated skew, any fanout") =
     forAll(rowsGen, Gen.oneOf(1, 3, 16)) { (rows, salts) =>
       val spark = SparkSuite.session
