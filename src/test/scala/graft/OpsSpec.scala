@@ -254,8 +254,12 @@ class OpsSpec extends SparkSuite with Matchers {
       // ≤ |key values|·|shuffle ranges| rows, bounded by the helper's
       // bounded-cardinality-key contract and the cluster width, never
       // by SF (q_ppl_bucket and q_budget_sample also ride the helper;
-      // they are whitelisted above for their own scalar hints)
-      "q_skew_stats", "q_curriculum", "q_shard_manifest",
+      // they are whitelisted above for their own scalar hints.
+      // q_curriculum/q_shard_manifest are NOT here: their helper hint
+      // sits inside the memoized curriculumOrder's checkpointed
+      // lineage — the q_pq_codes precedent — so their visible plan is
+      // LogicalRDD + limit/agg)
+      "q_skew_stats",
       "q_length_trim", "q_token_budget", "q_gap_percentiles",
       "q_winsorized_stats", "q_pack_sequences", "q_vocab_growth",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
