@@ -413,15 +413,38 @@ object Corpus {
     * The size≥2 guard is the parity contract: Spark's sequence(1,0)
     * would emit a DESCENDING [1,0] while DuckDB's generate_series
     * yields empty. */
+  /** The NON-distinct per-document bigram table — (doc_id, c, n) for
+    * every adjacent token pair — memoized per (session, dir) like
+    * [[docGrams8]]: two consumers build it independently otherwise
+    * (q_bigram_freq's corpus counts and q_bigram_entropy's per-doc
+    * conditional-entropy terms — both shuffle their aggregation
+    * keys anyway, so the memo saves exactly the tokenize + position
+    * explode). q_ngram_jaccard deliberately does NOT ride it: its
+    * array-level array_distinct is a zero-shuffle per-doc dedup that
+    * a memo read would replace with a full distinct shuffle + join
+    * (A/B'd slower, PLANS.md). One build per pass; the table is
+    * token-count-sized (narrow strings), the same class as the gram
+    * and token-set memos. */
+  private val bigramCache = Text.newMemoCache()
+
+  private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(bigramCache, spark, dir) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", toks($"text").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"t") - 1),
+          i => struct(element_at($"t", i).as("c"),
+            element_at($"t", i + 1).as("n")))).as("p"))
+        .select($"doc_id", $"p.c", $"p.n")
+        .localCheckpoint(eager = false)
+    }
+
   def qBigramFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(toks($"text").as("t"))
-      .filter(size($"t") >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size($"t") - 1),
-        i => concat(element_at($"t", i), lit(" "), element_at($"t", i + 1))
-      )).as("bigram"))
+    docBigrams(spark, dir)
+      .select(concat($"c", lit(" "), $"n").as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc_nulls_last, $"bigram".asc_nulls_first)
@@ -1123,14 +1146,8 @@ object Corpus {
     * normalizes — tools/tiecheck.py's emission sweep guards it). */
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bg = Tables.documents(spark, dir)
-      .select($"doc_id", toks($"text").as("t"))
-      .filter(size($"t") >= 2)
-      .select($"doc_id", explode(transform(
-        sequence(lit(1), size($"t") - 1),
-        i => struct(element_at($"t", i).as("c"),
-          element_at($"t", i + 1).as("n")))).as("p"))
-      .select($"doc_id", $"p.c", $"p.n")
+    // reads the shared memoized [[docBigrams]] table (r12)
+    val bg = docBigrams(spark, dir)
     val cn = bg.groupBy($"doc_id", $"c", $"n").agg(count(lit(1)).as("cnt"))
     val cc = cn.groupBy($"doc_id", $"c")
       .agg(sum($"cnt").as("ctot"),

@@ -1436,6 +1436,10 @@ object Text {
     * intersection join as q_near_dup. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT on the shared docBigrams memo (r12 A/B): the array-level
+    // array_distinct here is a ZERO-SHUFFLE per-doc dedup, while a
+    // memo read needs a row-level distinct (full shuffle) + metadata
+    // join — measured slower (1.8 → 2.3 s) and worse-shaped at scale
     val t = Tables.documents(spark, dir)
       .withColumn("tk", toks($"text"))
       .select($"doc_id", $"source", $"lang",
