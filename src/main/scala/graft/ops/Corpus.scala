@@ -956,6 +956,52 @@ object Corpus {
     * window over the (source, token, count) grain — bodies never
     * move, and per-source term tables stay small at any corpus size
     * because the rank cap is structural. */
+  /** L91 — vocabulary-coverage curve (tokenizer vocab sizing): what
+    * fraction of ALL token occurrences the top-V most frequent types
+    * cover, for V ∈ {1k, 2k, 4k, 8k, 16k} — the elbow curve a
+    * tokenizer design reads before fixing its vocabulary size
+    * (complement of L75's merge induction: this prices the OOV mass
+    * each candidate size leaves behind). Scale shape: one vocab-keyed
+    * count agg (map-side combinable), then the top-16384 cut is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps —
+    * NEVER a global sort or an unbounded window over the
+    * vocabulary, which is corpus-unbounded); rank + running coverage
+    * then run inside one window over the 16 384-row
+    * PARAMETER-BOUNDED cut — deliberately unpartitioned, safe
+    * because the input is ≤ the vocab-size parameter at any corpus
+    * size (plan-pinned: the registry sweep requires the limit below
+    * any unpartitioned window). All-integer
+    * accumulation; coverage is one round(6) of an identical
+    * exact-long division. The corpus total is a 1-row scalar
+    * broadcast (whitelist class). */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum($"c").as("total"))
+    val top = tf.orderBy($"c".desc, $"tok".asc).limit(16384)
+    // deliberately unpartitioned: the input is the ≤16 384-row heap
+    // cut above, bounded by the vocab-size parameter at any corpus
+    // size (the registry sweep admits unpartitioned windows exactly
+    // when a limit bounds their subtree)
+    val w = Window.orderBy($"c".desc, $"tok".asc)
+    top
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum",
+        sum($"c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"rnk", $"cum",
+        explode(array(Seq(1024, 2048, 4096, 8192, 16384).map(lit): _*))
+          .as("vocab_size"))
+      .filter($"rnk" <= $"vocab_size")
+      .groupBy($"vocab_size")
+      .agg(count(lit(1)).as("n_types"), max($"cum").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"vocab_size", $"n_types", $"covered_tokens",
+        round($"covered_tokens" / $"total", 6).as("coverage"))
+      .orderBy($"vocab_size".asc_nulls_first)
+  }
+
   def qZipfSlope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tf = Tables.documents(spark, dir)
@@ -1229,6 +1275,7 @@ object Corpus {
     "q_ppl_bucket" -> (qPplBucket _),
     "q_src_overlap" -> (qSrcOverlap _),
     "q_zipf_slope" -> (qZipfSlope _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_kl_divergence" -> (qKlDivergence _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_unigram_lm" -> (qUnigramLm _),
@@ -1359,6 +1406,29 @@ object Corpus {
         |JOIN sz sa ON src_a = sa.source
         |JOIN sz sb ON src_b = sb.source
         |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tf),
+        |top AS (SELECT tok, c FROM tf ORDER BY c DESC, tok ASC
+        |  LIMIT 16384),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM top),
+        |e AS (SELECT v.vocab_size, r.rnk, r.cum
+        |  FROM r, (VALUES (1024), (2048), (4096), (8192), (16384))
+        |    v(vocab_size)
+        |  WHERE r.rnk <= v.vocab_size)
+        |SELECT vocab_size, count(*) AS n_types,
+        |  CAST(max(cum) AS BIGINT) AS covered_tokens,
+        |  round(CAST(max(cum) AS DOUBLE) / total, 6) AS coverage
+        |FROM e CROSS JOIN tot
+        |GROUP BY vocab_size, total
+        |ORDER BY vocab_size ASC NULLS FIRST""".stripMargin,
     "q_zipf_slope" ->
       """WITH t AS (SELECT source,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -70,9 +70,19 @@ class OpsSpec extends SparkSuite with Matchers {
       val exec = unwrap(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       withClue(name)(exec.toString should not include "CartesianProduct")
       // 100 TB window doctrine: an UNPARTITIONED window serializes the
-      // whole input through one task — no query may plan one
-      exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-        .foreach(w => fail(s"$name plans an unpartitioned window: $w"))
+      // whole input through one task — no query may plan one UNLESS a
+      // top-k/limit cut below it bounds that input structurally (the
+      // q_vocab_coverage shape: rank+coverage over an orderBy+limit
+      // heap cut — ≤ limit rows on the single task at ANY corpus
+      // size, which is the same boundedness a broadcast dim enjoys)
+      import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec}
+      exec.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.collectFirst {
+            case t: TakeOrderedAndProjectExec => t
+            case g: GlobalLimitExec => g
+          }.isEmpty => w
+      }.foreach(w => fail(s"$name plans an unbounded unpartitioned window: $w"))
       val loops = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
       if (loops.exists(j => !scalarBuildSide(j) && !centroidBuildSide(j)))
         Some(name) else None
@@ -107,6 +117,28 @@ class OpsSpec extends SparkSuite with Matchers {
 
   test("top-k plans TakeOrderedAndProject (no global sort)") {
     planOf(Relational.qTopk(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("vocab coverage cuts the vocabulary with a top-k heap, never a global sort") {
+    // the vocabulary is corpus-unbounded: the 16384 cut must be
+    // TakeOrderedAndProject (per-partition heaps), and the only
+    // window runs over the already-cut parameter-bounded table
+    val df = Corpus.qVocabCoverage(spark, sf)
+    val plan = planOf(df)
+    plan should include("TakeOrderedAndProject")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val exec = unwrap(df.queryExecution.executedPlan)
+    exec.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"window input is not bounded by the top-k cut: $w")
+    }
   }
 
   test("range join stays an equi join with a residual, never a cross product") {
@@ -239,6 +271,7 @@ class OpsSpec extends SparkSuite with Matchers {
       // (q_moore_lewis's build is a crossJoin of two groupless aggs —
       // still exactly one row at any scale factor)
       "q_tfidf", "q_unigram_lm", "q_heavy_hitters", "q_pmi",
+      "q_vocab_coverage",
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
       "q_ppl_bucket", "q_domain_mix", "q_lsh_precision",

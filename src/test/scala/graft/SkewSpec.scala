@@ -183,6 +183,42 @@ class SkewSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  /** NULLs in the ORDER column: repartitionByRange and WindowExec
+    * must place them identically (Spark's asc = nulls first,
+    * desc = nulls last — both derive from the same SortOrder), or
+    * the range split would disagree with the local sort and offsets
+    * would land on the wrong rows. Crafted nulls, both directions,
+    * narrow width so nulls straddle range boundaries. */
+  test("scalableRank/Cumsum match single windows when the order column has nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 200).map { i =>
+      (if (i % 3 == 0) "a" else "b",
+        if (i % 5 == 0) None else Some(i % 17), i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      for (order <- Seq(Seq($"v".asc_nulls_first, $"id".asc),
+                        Seq($"v".desc_nulls_last, $"id".asc))) {
+        val w = Window.partitionBy($"k").orderBy(order: _*)
+        val direct = df
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(coalesce($"v", lit(0)).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select($"k", $"id", $"rn", $"cum")
+          .orderBy($"k", $"id").collect().map(_.toSeq)
+        val two = Skew.scalableCumsum(
+            Skew.scalableRank(df, Seq("k"), order, "rn"),
+            Seq("k"), order, coalesce($"v", lit(0)).cast("long"), "cum")
+          .select($"k", $"id", $"rn", $"cum")
+          .orderBy($"k", $"id").collect().map(_.toSeq)
+        withClue(s"order=$order: ") { two shouldBe direct }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** The mechanism's point: no task ever SORTS a whole key. The
     * phase-1 window must be partitioned by (key, __rpid), never by
     * the key alone — asserted on the physical plan so a refactor
