@@ -551,6 +551,38 @@ object Corpus {
       .orderBy($"source".asc_nulls_first, $"doc_id".asc_nulls_first)
   }
 
+  /** L92 — packing-fragmentation audit: the writer-side quality
+    * metric of L22's concat-and-chunk packing — how many documents
+    * get SPLIT across a sequence boundary (their attention span
+    * broken mid-document), per source: doc count, sequence count,
+    * boundary-crossing docs, and the crossing rate in integer
+    * per-mille. A training team reads this curve before picking the
+    * sequence budget (512 here — the L22 contract); a high crossing
+    * rate argues for document-aware packing. Same two-phase running
+    * sum as q_pack_sequences (one scalableCumsum per source — no
+    * whole-source single-task sort), then pure integer arithmetic:
+    * a doc crosses iff its first and last token land in different
+    * budget-sized chunks ((cum−n_tok) div B < (cum−1) div B;
+    * zero-token docs span nothing and never cross). All-integer
+    * output, zero tie surface. */
+  def qPackFragmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512L
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", size(toks($"text")).cast("long").as("n_tok"))
+    Skew.scalableCumsum(base, Seq("source"), Seq($"doc_id".asc),
+        $"n_tok", "cum")
+      .select($"source", $"n_tok", $"cum",
+        expr(s"(cum - n_tok) div $budget").as("sa"),
+        expr(s"(cum - 1) div $budget").as("sb"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"(max(cum) + ${budget - 1}) div $budget").as("n_seqs"),
+        sum(($"n_tok" > 0 && $"sb" > $"sa").cast("long")).as("n_split_docs"))
+      .withColumn("split_x1000", expr("(n_split_docs * 1000) div n_docs"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   /** L23 — benchmark decontamination: training docs sharing any
     * 8-gram with the benchmark set (stand-in: doc_id % 10 == 0 — a
     * deterministic eval split both engines agree on). Reads the
@@ -1287,6 +1319,7 @@ object Corpus {
     "q_repetition" -> (qRepetition _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_fragmentation" -> (qPackFragmentation _),
     "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -1697,6 +1730,26 @@ object Corpus {
         |WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
         |    AS BIGINT) < frac * 65536.0
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q_pack_fragmentation" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    len(string_split_regex(trim(lower(text)), ' +')) AS n_tok
+        |  FROM documents),
+        |packed AS (SELECT source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST((max(cum) + 511) // 512 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN n_tok > 0
+        |      AND (cum - 1) // 512 > (cum - n_tok) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        |  CAST(sum(CASE WHEN n_tok > 0
+        |      AND (cum - 1) // 512 > (cum - n_tok) // 512
+        |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |    AS split_x1000
+        |FROM packed
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_pack_sequences" ->
       """WITH tok AS (SELECT doc_id, source,
         |    len(string_split_regex(trim(lower(text)), ' +')) AS n_tok

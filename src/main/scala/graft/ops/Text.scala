@@ -943,6 +943,38 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L93 — FUZZY split leakage: eval (val/test) documents whose LSH
+    * band collides with ANY training document — the near-duplicate
+    * contamination that q_split_leakage's exact 8-gram audit cannot
+    * see (a lightly-edited train doc leaks into eval with zero
+    * shared 8-grams but an identical minhash band). Same L27 sha-u16
+    * split contract as the gram audit; candidates come from the
+    * memoized [[minhashSigs]] band index — the leak check is one
+    * distinct over train bands (band-grain, corpus-derived — never
+    * hint-broadcast) plus one equi-join probing it with the eval
+    * docs, the q_incremental_dedup probe shape. Per eval split:
+    * doc count, leaked count, integer per-mille rate. */
+  def qFuzzyLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = conv(substring(sha2($"doc_id".cast("string"), 256), 1, 4),
+      16, 10).cast("long")
+    val s = minhashSigs(spark, dir).select($"doc_id", $"band")
+      .withColumn("split",
+        when(u < 0.8 * 65536, "train")
+          .when(u < 0.9 * 65536, "val")
+          .otherwise("test"))
+    val trainBands = s.filter($"split" === "train")
+      .select($"band").distinct()
+      .withColumn("in_train", lit(1))
+    s.filter($"split" =!= "train")
+      .join(trainBands, Seq("band"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"in_train", lit(0))).cast("long").as("n_leaked"))
+      .withColumn("leak_x1000", expr("(n_leaked * 1000) div n_docs"))
+      .orderBy($"split".asc_nulls_first)
+  }
+
   /** L6 recall knob — multi-band LSH (b=2 bands of r=2 hashes):
     * a doc becomes a candidate if EITHER band collides, trading
     * precision for recall against q_minhash_dedup's single b=1/r=4
@@ -2133,6 +2165,7 @@ object Text {
     "q_index_upsert" -> (qIndexUpsert _),
     "q_intra_batch_dedup" -> (qIntraBatchDedup _),
     "q_multiband_dedup" -> (qMultibandDedup _),
+    "q_fuzzy_leakage" -> (qFuzzyLeakage _),
     "q_dup_matrix" -> (qDupMatrix _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_neardup" -> (qLshNeardup _),
@@ -2719,6 +2752,36 @@ object Text {
         |LEFT JOIN ch ON batch.dg = ch.dg
         |LEFT JOIN cb ON batch.band = cb.band
         |ORDER BY new_doc ASC NULLS FIRST""".stripMargin,
+    "q_fuzzy_leakage" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(sha256('0:' || tok)) AS s0,
+        |    min(sha256('1:' || tok)) AS s1,
+        |    min(sha256('2:' || tok)) AS s2,
+        |    min(sha256('3:' || tok)) AS s3
+        |  FROM t GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
+        |  FROM sig),
+        |s AS (SELECT b.doc_id, band,
+        |    CASE WHEN u16 < 0.8 * 65536 THEN 'train'
+        |         WHEN u16 < 0.9 * 65536 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b JOIN (SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS u16 FROM documents) u USING (doc_id)),
+        |tr AS (SELECT DISTINCT band FROM s WHERE split = 'train')
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN tr.band IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaked,
+        |  CAST(sum(CASE WHEN tr.band IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000 // count(*) AS BIGINT) AS leak_x1000
+        |FROM s LEFT JOIN tr ON s.band = tr.band
+        |WHERE split <> 'train'
+        |GROUP BY split
+        |ORDER BY split ASC NULLS FIRST""".stripMargin,
     "q_multiband_dedup" ->
       """WITH t AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok

@@ -294,7 +294,8 @@ class OpsSpec extends SparkSuite with Matchers {
       // LogicalRDD + limit/agg)
       "q_skew_stats",
       "q_length_trim", "q_token_budget", "q_gap_percentiles",
-      "q_winsorized_stats", "q_pack_sequences", "q_vocab_growth",
+      "q_winsorized_stats", "q_pack_sequences", "q_pack_fragmentation",
+      "q_vocab_growth",
       // nation (25 rows) / region (5 rows) — fixed cardinality dims
       "q_explode_join", "q_multiway_join", "q_returned_items",
       "q_local_revenue", "q_trade_volume", "q_product_profit",

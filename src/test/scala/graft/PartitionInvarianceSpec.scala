@@ -76,7 +76,9 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_dedup_yield",     // threshold counts over star-pair jaccards
     "q_token_budget",    // two-phase running sum → budget cut
     "q_vocab_growth",    // two-phase running vocab accumulation
-    "q_vocab_coverage")  // top-16384 heap cut + coverage cumsum ties
+    "q_vocab_coverage",  // top-16384 heap cut + coverage cumsum ties
+    "q_pack_fragmentation", // boundary-crossing flags off the two-phase cumsum
+    "q_fuzzy_leakage")   // band-distinct probe counts across splits
 
   test("risky queries return identical ordered results under 7 vs default shuffle partitions") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
