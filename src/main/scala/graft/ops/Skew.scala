@@ -159,9 +159,32 @@ object Skew {
     * contract; ranges = shuffle width), never SF — the same
     * whitelist class as centroid metadata.
     *
+    * COST CONTRACT (ADVICE r12): every scalableRank/scalableCumsum
+    * call materializes its ranged input ONCE via a lazy checkpoint
+    * (full fact-grain row width in block-manager storage — see
+    * [[graft.Ckpt]] for the local-vs-reliable trade at cluster
+    * scale). That single materialization is what lets the local-rank
+    * branch and the offset branch read the SAME partition assignment;
+    * it is also the helper's dominant cost at the 100 TB design
+    * point, so callers should PROJECT DOWN to the columns they need
+    * before calling, and a chain of helper calls pays one
+    * materialization per phase by design (each phase's input is the
+    * previous phase's derived output — a shared ranged table cannot
+    * be reused across different inputs; no production call site
+    * chains today, the chains live in SkewSpec/PropertySpec).
+    *
     * `__rpid` is the helper's marker column: the plan-shape sweep
     * (OpsSpec window-cardinality test) recognizes phase-2 windows by
-    * it and exempts them. */
+    * it and exempts them. Caller columns must not use the helper's
+    * reserved `__`-prefixed namespace — enforced here, because a
+    * silent withColumn overwrite (or a query exposing a column
+    * literally named __rpid, which would self-exempt from the
+    * window sweep) is the ADVICE r12 collision class. */
+  private def checkReserved(df: DataFrame): Unit =
+    require(!df.columns.exists(_.startsWith("__")),
+      s"Skew helpers reserve the __-prefixed column namespace " +
+        s"(__rpid, __lrn, __off, …); got ${df.columns.mkString(", ")}")
+
   private def rangedByKey(df: DataFrame, keys: Seq[String],
                           order: Seq[Column]): DataFrame = {
     val ranges = df.sparkSession.conf
@@ -169,6 +192,25 @@ object Skew {
     df.repartitionByRange(ranges, keys.map(col) ++ order: _*)
       .withColumn("__rpid", spark_partition_id())
       .localCheckpoint(eager = false)
+  }
+
+  /** Null-safe broadcast attach of the per-(key, range) offset table
+    * back onto the ranged rows. A plain using-columns equi-join drops
+    * rows whose key is NULL, whereas the single-window form (and SQL
+    * PARTITION BY) keeps a NULL partition group — the ADVICE r12
+    * latent-divergence class. `<=>` on the key columns keeps the
+    * NULL group; `__rpid` is never null (spark_partition_id). */
+  private def joinOffsets(ranged: DataFrame, offsets: DataFrame,
+                          keys: Seq[String]): DataFrame = {
+    val renamed = keys.zipWithIndex.foldLeft(
+      offsets.withColumnRenamed("__rpid", "__orp")) {
+      case (d, (k, i)) => d.withColumnRenamed(k, s"__ok$i")
+    }
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__ok$i") }
+      .reduce(_ && _) && col("__rpid") === col("__orp")
+    ranged.join(broadcast(renamed), cond)
+      .drop("__orp" +: keys.indices.map(i => s"__ok$i"): _*)
   }
 
   /** Global `row_number()` per `keys` in `order` (LONG column
@@ -180,6 +222,7 @@ object Skew {
     * to equal the single-window form. */
   def scalableRank(df: DataFrame, keys: Seq[String], order: Seq[Column],
                    rnCol: String, totCol: Option[String] = None): DataFrame = {
+    checkReserved(df)
     val ranged = rangedByKey(df, keys, order)
     val kc = keys.map(col)
     val counts = ranged.groupBy(kc :+ col("__rpid"): _*)
@@ -191,9 +234,9 @@ object Skew {
     val offsets = totCol.fold(offsets0)(t =>
       offsets0.withColumn(t, sum(col("__c")).over(wKey)))
     val localW = Window.partitionBy(kc :+ col("__rpid"): _*).orderBy(order: _*)
-    ranged
-      .withColumn("__lrn", row_number().over(localW))
-      .join(broadcast(offsets.drop("__c")), keys :+ "__rpid")
+    joinOffsets(
+      ranged.withColumn("__lrn", row_number().over(localW)),
+      offsets.drop("__c"), keys)
       .withColumn(rnCol, col("__off") + col("__lrn"))
       .drop("__rpid", "__lrn", "__off")
   }
@@ -205,6 +248,7 @@ object Skew {
     * scale shape as [[scalableRank]]. */
   def scalableCumsum(df: DataFrame, keys: Seq[String], order: Seq[Column],
                      value: Column, outCol: String): DataFrame = {
+    checkReserved(df)
     val ranged = rangedByKey(df.withColumn("__v", value), keys, order)
     val kc = keys.map(col)
     val sums = ranged.groupBy(kc :+ col("__rpid"): _*)
@@ -215,9 +259,9 @@ object Skew {
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val localW = Window.partitionBy(kc :+ col("__rpid"): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged
-      .withColumn("__lcs", sum(col("__v")).over(localW))
-      .join(broadcast(offsets.drop("__s")), keys :+ "__rpid")
+    joinOffsets(
+      ranged.withColumn("__lcs", sum(col("__v")).over(localW)),
+      offsets.drop("__s"), keys)
       .withColumn(outCol, col("__off") + col("__lcs"))
       .drop("__rpid", "__lcs", "__off", "__v")
   }

@@ -74,14 +74,26 @@ class OpsSpec extends SparkSuite with Matchers {
       // top-k/limit cut below it bounds that input structurally (the
       // q_vocab_coverage shape: rank+coverage over an orderBy+limit
       // heap cut — ≤ limit rows on the single task at ANY corpus
-      // size, which is the same boundedness a broadcast dim enjoys)
+      // size, which is the same boundedness a broadcast dim enjoys).
+      // The cut must sit on the window's INPUT PATH (ADVICE r12): walk
+      // unary nodes and the STREAMED side of broadcast joins only — a
+      // limit buried in a join's build side bounds the dimension, not
+      // the window's input cardinality, and must not exempt.
       import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec}
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.BuildRight
+      def boundedInput(p: SparkPlan): Boolean = p match {
+        case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+        case j: BroadcastHashJoinExec =>
+          boundedInput(if (j.buildSide == BuildRight) j.left else j.right)
+        case j: BroadcastNestedLoopJoinExec =>
+          boundedInput(if (j.buildSide == BuildRight) j.left else j.right)
+        case u if u.children.size == 1 => boundedInput(u.children.head)
+        case _ => false
+      }
       exec.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
-          w.collectFirst {
-            case t: TakeOrderedAndProjectExec => t
-            case g: GlobalLimitExec => g
-          }.isEmpty => w
+          !boundedInput(w.child) => w
       }.foreach(w => fail(s"$name plans an unbounded unpartitioned window: $w"))
       val loops = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
       if (loops.exists(j => !scalarBuildSide(j) && !centroidBuildSide(j)))

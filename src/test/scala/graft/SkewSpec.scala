@@ -219,6 +219,60 @@ class SkewSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  /** NULLs in the KEY column (ADVICE r12): SQL PARTITION BY keeps a
+    * NULL partition group, so the helpers' offset attach must be
+    * null-safe — a plain equi-join would silently DROP every
+    * null-key row, diverging from the single-window form (and from
+    * the DuckDB oracles). Crafted null keys straddling range
+    * boundaries at narrow width. */
+  test("scalableRank/Cumsum keep the NULL key group like PARTITION BY does") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 200).map { i =>
+      (if (i % 4 == 0) None else Some(if (i % 3 == 0) "a" else "b"),
+        i % 13, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val order = Seq($"v".asc, $"id".asc)
+      val w = Window.partitionBy($"k").orderBy(order: _*)
+      val direct = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"v".cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nt3", ntile(3).over(w))
+        .select($"k", $"id", $"rn", $"cum", $"nt3")
+        .orderBy($"k".asc_nulls_first, $"id").collect().map(_.toSeq)
+      val two = Skew.scalableNtile(
+          Skew.scalableCumsum(
+            Skew.scalableRank(df, Seq("k"), order, "rn"),
+            Seq("k"), order, $"v".cast("long"), "cum"),
+          Seq("k"), order, 3, "nt3")
+        .select($"k", $"id", $"rn", $"cum", $"nt3")
+        .orderBy($"k".asc_nulls_first, $"id").collect().map(_.toSeq)
+      two shouldBe direct
+      two.size shouldBe 200 // null-key rows must not be dropped
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  /** The reserved-namespace guard (ADVICE r12): a caller column in
+    * the helpers' __-prefixed marker namespace would be silently
+    * overwritten (or auto-exempt the query from the window sweep),
+    * so the helpers must fail fast instead. */
+  test("Skew helpers reject caller columns in the reserved __ namespace") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L)).toDF("k", "id", "__rpid")
+    val e = intercept[IllegalArgumentException] {
+      Skew.scalableRank(df, Seq("k"), Seq($"id".asc), "rn")
+    }
+    e.getMessage should include("__rpid")
+    intercept[IllegalArgumentException] {
+      Skew.scalableCumsum(df, Seq("k"), Seq($"id".asc), $"id", "cum")
+    }
+  }
+
   /** The mechanism's point: no task ever SORTS a whole key. The
     * phase-1 window must be partitioned by (key, __rpid), never by
     * the key alone — asserted on the physical plan so a refactor
