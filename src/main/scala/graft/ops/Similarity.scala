@@ -347,6 +347,82 @@ object Similarity {
     sse
   }
 
+  /** L74's re-train step as an oracle-gated query (the one operator
+    * the survey named by q-id without registering it — r12 verdict
+    * #1): k=4 Lloyd iterations over the embedding corpus with the
+    * deterministic lowest-id seeding [[kmeansSse]] established,
+    * emitting per-iteration cluster facts at (iter, cid, pos) grain —
+    * the updated centroid coordinate (integer 1e4 units), the
+    * cluster's member count, and its SSE under the assignment that
+    * produced it (integer 1e4 units, summed as exact longs). The
+    * final iteration's rows ARE the trained index's centroid table.
+    *
+    * Determinism gate: distances round to 4dp before the argmin
+    * (ties → lower cid, the q_ann_upsert contract) and centroids
+    * round to 4dp between iterations, so both engines iterate on
+    * IDENTICAL doubles — the ulp the two engines' summation orders
+    * produce is absorbed at every round boundary, never compounds.
+    *
+    * Scale shape: per iteration, the k-row centroid table BROADCASTS
+    * against the distributed vectors (bounded by the index parameter
+    * k at any corpus size — the q_ann_multiprobe whitelist class),
+    * the argmin is a vec_id-keyed window (unbounded key), and the
+    * recompute is posexplode + two map-side-combinable hash-aggs
+    * (the q_centroids shape). Vectors never reach the driver; the
+    * lazy checkpoint per round lets the stats agg and the recompute
+    * read one materialization and truncates the iteration lineage
+    * (the CC-fixpoint precedent). Oracle: the same three rounds
+    * unrolled as a CTE chain (the q_dedup_clusters
+    * iteration-vs-recursion precedent). */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val iters = 3
+    val vecs = withVec(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"vec", expr("graft_dot(vec, vec)").as("vv"))
+      .localCheckpoint(eager = false)
+    def toArray(perPos: DataFrame): DataFrame = perPos
+      .groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"cid", expr("transform(pc, e -> e.c)").as("cvec"))
+    // deterministic seed: the k lowest vec_ids, rebuilt through the
+    // same cid-grouped collect shape as the per-iteration recompute
+    // so every round's broadcast build side is the k-row centroid
+    // aggregate (the plan class OpsSpec's BNLJ guard admits)
+    val seed = toArray(vecs.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cid"),
+        posexplode($"vec").as(Seq("pos0", "c")))
+      .select($"cid", ($"pos0" + 1).as("pos"), $"c"))
+    val (_, rounds) = (1 to iters).foldLeft((seed, Seq.empty[DataFrame])) {
+      case ((cent, acc), t) =>
+        val cents = cent.withColumn("cc", expr("graft_dot(cvec, cvec)"))
+        val wa = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .withColumn("dist", round(
+            $"vv" - lit(2.0) * expr("graft_dot(vec, cvec)") + $"cc", 4)
+            + lit(0.0))
+          .withColumn("rk", row_number().over(wa))
+          .filter($"rk" === 1)
+          .select($"vec_id", $"cid", $"vec", $"dist")
+          .localCheckpoint(eager = false) // stats + recompute read once
+        val stats = assigned.groupBy($"cid")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(round($"dist" * lit(1.0e4)).cast("long")).as("sse_u4"))
+        val newC = assigned
+          .select($"cid", posexplode($"vec").as(Seq("pos0", "x")))
+          .groupBy($"cid", ($"pos0" + 1).as("pos"))
+          .agg((round(avg($"x"), 4) + lit(0.0)).as("c"))
+        val row = newC.join(stats, "cid")
+          .select(lit(t).as("iter"), $"cid", $"pos",
+            round($"c" * lit(1.0e4)).cast("long").as("c_u4"),
+            $"n_vecs", $"sse_u4")
+        (toArray(newC), acc :+ row)
+    }
+    rounds.reduce(_.union(_))
+      .orderBy($"iter".asc_nulls_first, $"cid".asc_nulls_first,
+        $"pos".asc_nulls_first)
+  }
+
   /** L46 — per-label embedding norm profile: the sanity dashboard an
     * embedding pipeline publishes before anyone trusts cosine math on
     * the collection (un-normalized or collapsed vectors show up here
@@ -904,6 +980,7 @@ object Similarity {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_centroids" -> (qCentroids _),
     "q_ann_upsert" -> (qAnnUpsert _),
+    "q_kmeans" -> (qKmeans _),
   )
 
   /** Oracle formulation: per-element lateral expansion
@@ -932,6 +1009,50 @@ object Similarity {
        |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> {
+      // the engine's driver-side Lloyd loop, unrolled to an
+      // iteration-per-CTE chain (the q_dedup_clusters precedent:
+      // iteration in the engine, unrolling in the oracle); every
+      // round re-derives distances from the PREVIOUS round's
+      // 4dp-rounded centroids so both engines iterate on identical
+      // doubles
+      def iter(t: Int, prev: String): String =
+        s"""cc$t AS (SELECT cid, sum(c * c) AS cc FROM $prev GROUP BY cid),
+           |vc$t AS (SELECT p.vec_id, c.cid, sum(p.x * c.c) AS vc
+           |  FROM pe p JOIN $prev c ON p.i = c.i GROUP BY p.vec_id, c.cid),
+           |d$t AS (SELECT vc$t.vec_id, vc$t.cid,
+           |    round(vv.vv - 2 * vc$t.vc + cc$t.cc, 4) + 0.0 AS dist
+           |  FROM vc$t JOIN vv ON vc$t.vec_id = vv.vec_id
+           |  JOIN cc$t ON vc$t.cid = cc$t.cid),
+           |a$t AS (SELECT vec_id, cid, dist, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+           |  FROM d$t),
+           |s$t AS (SELECT cid, count(*) AS n_vecs,
+           |    CAST(sum(CAST(round(dist * 1e4) AS BIGINT)) AS BIGINT) AS sse_u4
+           |  FROM a$t WHERE rk = 1 GROUP BY cid),
+           |c$t AS (SELECT a.cid, p.i, round(avg(p.x), 4) + 0.0 AS c
+           |  FROM a$t a JOIN pe p ON a.vec_id = p.vec_id
+           |  WHERE a.rk = 1 GROUP BY a.cid, p.i),
+           |o$t AS (SELECT $t AS iter, c$t.cid, c$t.i AS pos,
+           |    CAST(round(c$t.c * 1e4) AS BIGINT) AS c_u4,
+           |    s$t.n_vecs, s$t.sse_u4
+           |  FROM c$t JOIN s$t ON c$t.cid = s$t.cid)""".stripMargin
+      s"""WITH pe AS (SELECT vec_id,
+         |    generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |vv AS (SELECT vec_id, sum(x * x) AS vv FROM pe GROUP BY vec_id),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, i, x AS c
+         |  FROM pe WHERE vec_id < 4),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |${iter(3, "c2")}
+         |SELECT iter, cid, pos, c_u4, n_vecs, sse_u4 FROM o1
+         |UNION ALL SELECT iter, cid, pos, c_u4, n_vecs, sse_u4 FROM o2
+         |UNION ALL SELECT iter, cid, pos, c_u4, n_vecs, sse_u4 FROM o3
+         |ORDER BY iter ASC NULLS FIRST, cid ASC NULLS FIRST,
+         |  pos ASC NULLS FIRST""".stripMargin
+    },
     "q_knn_classify" ->
       """WITH pe AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

@@ -20,4 +20,31 @@ class KMeansSpec extends SparkSuite with Matchers {
     // from an arbitrary (first-k) seed, one reassignment must actually help
     sse.last should be < sse.head
   }
+
+  test("q_kmeans (oracle-gated Lloyd) keeps the non-increasing-SSE property") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Similarity.qKmeans(spark, sf)
+    // per-iteration totals off the (iter, cid, pos) grain: counts and
+    // SSE repeat across the 64 pos rows of a cluster, so sum distinct
+    // (iter, cid) facts
+    val byIter = out.select($"iter", $"cid", $"n_vecs", $"sse_u4").distinct()
+      .groupBy($"iter")
+      .agg(sum($"n_vecs").as("n"), sum($"sse_u4").as("sse"))
+      .orderBy($"iter")
+      .as[(Int, Long, Long)].collect()
+    byIter.map(_._1).toSeq shouldBe Seq(1, 2, 3)
+    // every vector stays assigned every round
+    byIter.map(_._2).distinct should have size 1
+    // the 4dp distance/centroid gates bound the rounding drift per
+    // round at |N|·1e-4 in u4 units = |N| — far below a real increase
+    val slack = byIter.head._2
+    byIter.map(_._3).sliding(2).foreach {
+      case Array(a, b) => b should be <= (a + slack)
+      case _ =>
+    }
+    // and the final round's centroid table is the k×dim index
+    out.filter($"iter" === 3).select($"cid", $"pos").distinct().count() shouldBe
+      out.filter($"iter" === 3).count()
+  }
 }

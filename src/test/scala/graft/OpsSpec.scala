@@ -54,7 +54,9 @@ class OpsSpec extends SparkSuite with Matchers {
     // Second admitted shape: a BNLJ whose build side aggregates the
     // corpus down to the cell label (the k-row IVF centroid table —
     // bounded by the index parameter k, never by corpus size). Used by
-    // q_ann_multiprobe's query×centroid cell-ranking step.
+    // q_ann_multiprobe's query×centroid cell-ranking step and by
+    // q_kmeans's per-round centroid table (grouped by cid — the k
+    // Lloyd cluster ids, the same index-parameter bound).
     def centroidBuildSide(j: BroadcastNestedLoopJoinExec): Boolean = {
       val build = j.buildSide match {
         case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
@@ -62,7 +64,8 @@ class OpsSpec extends SparkSuite with Matchers {
       }
       build.collectFirst {
         case a: BaseAggregateExec if a.groupingExpressions.nonEmpty &&
-          a.groupingExpressions.forall(_.toString.contains("label")) => a
+          a.groupingExpressions.forall(e =>
+            e.toString.contains("label") || e.toString.contains("cid")) => a
       }.isDefined
     }
     import org.apache.spark.sql.execution.window.WindowExec
@@ -332,8 +335,9 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_ann_filtered", "q_mrl_recall", "q_rrf_fusion",
       // q_ann_upsert broadcasts the standing index's k-row centroid
       // table (bounded by the IVF cell-count parameter, not the
-      // corpus) — same class as q_ann_multiprobe's centroid hint
-      "q_ann_upsert",
+      // corpus) — same class as q_ann_multiprobe's centroid hint;
+      // q_kmeans broadcasts the same k-row table once per Lloyd round
+      "q_ann_upsert", "q_kmeans",
       // PQ family: the m·k=64-row codebook, the query-set×codebook
       // LUT (320 rows), and q_ivfpq's 10-deep shortlist — all bounded
       // by index parameters / probe budget, never by corpus size.
