@@ -211,6 +211,90 @@ object Corpus {
         .localCheckpoint(eager = false)
     }
 
+  /** (doc_id, term, tf) rows for a document set — the postings
+    * build's corpus-scale step (explode + one map-side-combinable
+    * hash-agg), shared by the standing index and L95's arriving
+    * batch. */
+  private[graft] def tfRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The postings MERGE at the heart of L95's CDC write-back: given
+    * the STANDING index's tf rows and an ARRIVING batch's tf rows
+    * (disjoint doc sets), produce the post-ingest postings index —
+    * (doc_id, term, tf, idf, dln) — equal to a from-scratch rebuild
+    * over the union corpus, without re-pairing or re-tokenizing the
+    * corpus. The real work is the df merge: df is CORPUS-GLOBAL, so
+    * the write-back is a full-outer count ADD at term grain (tf is
+    * additive over disjoint doc sets — never a union-then-recount of
+    * posting rows); doc lengths re-derive at doc grain (dl is itself
+    * a standing table the index persists), corpus stats attach as a
+    * 1-row broadcast scalar, and idf / the length norm recompute at
+    * their NATURAL grains exactly like [[bm25Postings]] — every doc's
+    * norm legitimately changes when n_docs/tot_len move, which is why
+    * dln lives at doc grain, not inside the posting rows. Runs as-is
+    * inside foreachBatch (IncrementalIndexSpec's live-loop shape). */
+  private[graft] def mergePostings(corpusTf: DataFrame,
+                                   batchTf: DataFrame): DataFrame = {
+    val dfC = corpusTf.groupBy(col("term")).agg(count(lit(1)).as("df_c"))
+    val dfB = batchTf.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
+    val dfNew = dfC.join(dfB, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"))
+    val dl = corpusTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .union(batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      .localCheckpoint(eager = false) // stats + norm re-derive read once
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+    val idfNew = dfNew.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val dn = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (lit(0.25) +
+        lit(0.75) * (col("dl") * col("n_docs")).cast("double") /
+          col("tot_len")).as("dln"))
+    corpusTf.union(batchTf)
+      .join(idfNew, "term")
+      .join(dn, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("idf"), col("dln"))
+  }
+
+  /** L95 — BM25 postings-index CDC write-back: the lexical-index
+    * mirror of L72 (dedup band index) and L74 (ANN cell index), the
+    * one asymmetry the r12 verdict found in the CDC story. An
+    * arriving batch (doc_id % 10 = 9, the standard "today's ingest"
+    * slice) updates the STANDING tf/df/dl postings statistics via
+    * [[mergePostings]]; output = the post-ingest index at posting
+    * grain with idf and the length norm emitted as integer
+    * micro-units (round-to-int of doubles built from identical
+    * integer stats on both engines — the family's score_u6 gate).
+    * The oracle rebuilds the same index from scratch over the full
+    * corpus: incremental == rebuild is the correctness contract a
+    * production ingest loop audits (reference analog: s3-sync.sh:17's
+    * skip-what-exists incrementalism — merge only what arrived).
+    * Scale: the merge is one term-grain full-outer count add + one
+    * doc-grain union + two equi-joins; per-ingest cost ∝ |batch| +
+    * |index statistics|, never corpus re-tokenization — at 100 TB
+    * the tf/df/dl inputs are the persisted tables the search tier
+    * already maintains (BucketingSpec proves the bucketed
+    * read-in-place layout; q_bm25 serves unchanged from the merged
+    * shape). */
+  def qBm25Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpusTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) =!= 9))
+      .localCheckpoint(eager = false) // df agg + dl agg + union read once
+    val batchTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) === 9))
+      .localCheckpoint(eager = false)
+    mergePostings(corpusTf, batchTf)
+      .select($"doc_id", $"term", $"tf",
+        round($"idf" * lit(1.0e6)).cast("long").as("idf_u6"),
+        round($"dln" * lit(1.0e6)).cast("long").as("dln_u6"))
+      .orderBy($"doc_id".asc_nulls_first, $"term".asc_nulls_first)
+  }
+
   /** ARRIVAL-path query tokenization: (q_id, distinct term) as a
     * PURE per-row projection — no shuffle, no state — so an arriving
     * query scores under Structured Streaming exactly like a batch
@@ -1323,6 +1407,7 @@ object Corpus {
     "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_upsert" -> (qBm25Upsert _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_ndcg" -> (qNdcg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1798,6 +1883,29 @@ object Corpus {
           |  FROM scored)
           |SELECT q_id, doc_id, rnk, score_u6 FROM r WHERE rnk <= 10
           |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin),
+    // the engine merges standing + batch incrementally; the oracle
+    // rebuilds from scratch over the full corpus — incremental ==
+    // rebuild IS the CDC contract under audit
+    "q_bm25_upsert" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term,
+        |    ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) AS idf
+        |  FROM dft CROSS JOIN stats s),
+        |dn AS (SELECT doc_id, 0.25 +
+        |    0.75 * CAST(dl.dl * s.n_docs AS DOUBLE) / s.tot_len AS dln
+        |  FROM dl CROSS JOIN stats s)
+        |SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(round(idf.idf * 1e6) AS BIGINT) AS idf_u6,
+        |  CAST(round(dn.dln * 1e6) AS BIGINT) AS dln_u6
+        |FROM tf JOIN idf USING (term) JOIN dn USING (doc_id)
+        |ORDER BY doc_id ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin,
     "q_rrf_fusion" ->
       (bm25OracleCtes +
         """,

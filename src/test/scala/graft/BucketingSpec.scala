@@ -314,6 +314,61 @@ class BucketingSpec extends SparkSuite with Matchers {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /** L95's layout half: the post-upsert MERGED index re-persists
+    * bucketed on the term key and q_bm25's serving path reads it in
+    * place exactly like the pre-upsert index — the CDC write-back
+    * does not cost the search tier its no-reshuffle layout. Same
+    * assertions as the standing-postings test above, over
+    * mergePostings' output. */
+  test("merged (post-upsert) postings keep the bucketed serving layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      spark.sql("DROP TABLE IF EXISTS postings_up_bkt")
+      val d = new java.io.File(wh, "postings_up_bkt")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+
+      val docs = Tables.documents(spark, sf)
+      val merged = graft.ops.Corpus.mergePostings(
+        graft.ops.Corpus.tfRows(docs.filter(pmod($"doc_id", lit(10L)) =!= 9)),
+        graft.ops.Corpus.tfRows(docs.filter(pmod($"doc_id", lit(10L)) === 9)))
+      merged.write.mode("overwrite")
+        .bucketBy(8, "term").sortBy("term").saveAsTable("postings_up_bkt")
+
+      val qtoks = graft.ops.Corpus.queryToks(docs.filter($"doc_id" < 3))
+      val scored = graft.ops.Corpus.bm25Score(
+        qtoks, spark.table("postings_up_bkt").hint("merge"))
+
+      val plan = scored.queryExecution.executedPlan
+      plan.toString should include("SortMergeJoin")
+      plan.toString should include("Bucketed: true")
+      def directBucketedSide(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[String] = p match {
+        case s: FileSourceScanExec if s.bucketedScan =>
+          s.tableIdentifier.map(_.table)
+        case _: ShuffleExchangeLike => None
+        case _ if p.children.size == 1 => directBucketedSide(p.children.head)
+        case _ => None
+      }
+      val inPlace = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right).flatMap(directBucketedSide)
+      }.flatten
+      inPlace shouldBe Seq("postings_up_bkt")
+      plan.collect { case e: ShuffleExchangeLike => e } should have size 2
+
+      // value parity with the in-memory merged index
+      val viaBucket = scored.collect().map(_.toSeq).toSet
+      viaBucket shouldBe graft.ops.Corpus.bm25Score(qtoks, merged)
+        .collect().map(_.toSeq).toSet
+      viaBucket.size should be > 0
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** The PQ serving layout claim, made code (the similarity-side
     * mirror of the CDC index case above): q_pq_codes' scaladoc calls
     * the assignment table "the parquet code table every probe reads"

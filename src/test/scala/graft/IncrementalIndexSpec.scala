@@ -87,6 +87,72 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
     graft.ops.Text.readIndex(spark, idxDir).filter($"doc_id" === 9L).count() shouldBe 1L
   }
 
+  test("bm25 postings CDC: sequential ingest ticks converge to the from-scratch rebuild") {
+    import spark.implicits._
+    // the LEXICAL-index write-back loop (L95): the standing tf table
+    // is a persisted parquet index; each arriving batch reads it
+    // fresh, merges (df is corpus-global — the full-outer count add),
+    // publishes the post-ingest index, and appends its tf rows for
+    // the next tick. Two ticks later the published index must equal a
+    // from-scratch rebuild over everything — the incremental ==
+    // rebuild contract q_bm25_upsert's oracle audits in one step.
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25cdc")
+    val tfDir = root.resolve("tf_index").toString
+    val srcDir = root.resolve("arrivals")
+    java.nio.file.Files.createDirectory(srcDir)
+
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    graft.ops.Corpus.tfRows(docs.filter(pmod($"doc_id", lit(10L)) < 8))
+      .write.mode("overwrite").parquet(tfDir)
+
+    def stage(name: String, mtime: Long,
+              rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = 1600000000000L
+    stage("f1", t0, docs.filter(pmod($"doc_id", lit(10L)) === 8))
+    stage("f2", t0 + 60000, docs.filter(pmod($"doc_id", lit(10L)) === 9))
+
+    def emit(idx: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = idx
+      .select($"doc_id", $"term", $"tf",
+        round($"idf" * lit(1.0e6)).cast("long").as("idf_u6"),
+        round($"dln" * lit(1.0e6)).cast("long").as("dln_u6"))
+      .collect().map(_.toSeq).toSet
+
+    @volatile var published: Set[Seq[Any]] = Set.empty
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val standing = spark.read.parquet(tfDir)
+        val batchTf = graft.ops.Corpus.tfRows(batch)
+          .localCheckpoint() // pin: the batch df dies with the tick
+        published = emit(graft.ops.Corpus.mergePostings(standing, batchTf))
+        batchTf.write.mode("append").parquet(tfDir) // next tick's standing
+        ()
+      }
+      .start()
+    try q.awaitTermination(120000) shouldBe true
+    finally q.stop()
+
+    val rebuild = emit(graft.ops.Corpus.mergePostings(
+      graft.ops.Corpus.tfRows(docs), // the whole corpus from scratch
+      graft.ops.Corpus.tfRows(docs.filter(lit(false)))))
+    published shouldBe rebuild
+    published.size should be > 0
+  }
+
   test("full service vet: intra-batch lattice + write-back in one loop") {
     import spark.implicits._
 

@@ -290,6 +290,9 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_idle_customers", "q_part_share", "q_top_supplier",
       "q_moore_lewis", "q_recency_score", "q_kl_divergence",
       "q_ppl_bucket", "q_domain_mix", "q_lsh_precision",
+      // q_bm25_upsert hints only the merged index's 1-row corpus
+      // stats scalar (n_docs, tot_len) — the bm25Postings class
+      "q_bm25_upsert",
       // q_zorder's only hint is the 1-row min/max scalar the integer
       // quantization grid derives from
       "q_zorder",
