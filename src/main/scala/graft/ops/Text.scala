@@ -592,6 +592,78 @@ object Text {
       .limit(20)
   }
 
+  /** L96 — iterative BPE induction (extends L75 from the FIRST merge
+    * round to the trained merge LIST a tokenizer takes): 6 rounds of
+    * count-all-adjacent-pairs → pick the max-frequency winner (ties →
+    * pair-lexicographic) → apply the merge to the vocabulary before
+    * the next round — so round r's candidates include symbols that
+    * only exist because of rounds 1..r-1 (the crafted CorpusSpec case).
+    *
+    * Representation: each vocab word encodes as its symbol sequence
+    * joined on DOUBLE spaces with double-space terminators
+    * ("␣␣a␣␣b␣␣c␣␣"), so applying a merge is ONE plain substring
+    * replace("␣a␣␣b␣", "␣ab␣") — the double separators mean adjacent
+    * occurrences never share a boundary character, making the
+    * non-overlapping left-to-right replace EXACTLY greedy BPE
+    * ("aaaa" → [aa, aa], "aaa" → [aa, a]) with identical semantics
+    * on both engines, and symbol boundaries can never be confused
+    * with symbol content (symbols are space-free by construction).
+    *
+    * Scale shape (the L75 doctrine, per round): pair counting runs at
+    * VOCABULARY grain (|vocab|·avg_len rows — the corpus-scale word
+    * count happens once, map-side combinable), the winner is a
+    * global top-1 (TakeOrderedAndProject — per-partition heaps,
+    * never a global sort), and the merge is a pure codegen projection.
+    * The winner is the round's 1-ROW driver read — the same
+    * iteration-state class as the CC fixpoint's convergence aggregate
+    * and kmeansSse's SSE; the vocabulary itself never reaches the
+    * driver, and each round's vocab is the previous round's plus one
+    * stacked replace projection (no shuffle between rounds).
+    * All-integer/string output: zero rounding-tie surface. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rounds = 6
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .select(concat(regexp_replace($"w", "(.)", "  $1"), lit("  ")).as("s"),
+        $"n")
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var vocab = vocab0
+    var r = 1
+    var dry = false // vocabulary fully merged: no adjacent pair left
+    while (r <= rounds && !dry) {
+      // the round's 1-row iteration state (the CC-fixpoint /
+      // kmeansSse driver-read class); the oracle's empty w-CTE
+      // contributes zero rows for dry rounds, so stopping here keeps
+      // the two engines' row sets identical
+      vocab
+        .select($"n", split(trim($"s"), " +").as("syms"))
+        .filter(size($"syms") >= 2)
+        .select($"n", explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"n").as("freq"))
+        .orderBy($"freq".desc, $"a".asc, $"b".asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .take(1) match {
+        case Array((a, b, freq)) =>
+          merges += ((r, a, b, freq))
+          vocab = vocab.select(
+            replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+            $"n")
+          r += 1
+        case _ => dry = true
+      }
+    }
+    merges.result().toDF("round", "a", "b", "freq")
+      .select($"round", $"a", $"b", concat($"a", $"b").as("merged"), $"freq")
+      .orderBy($"round".asc_nulls_first)
+  }
+
   /** [EXT] document fingerprint: sha2 of the sorted distinct token
     * bag — canonical content identity robust to token order (the
     * rolling-hash family's batch cousin; pairs with q_exact_dedup
@@ -2156,6 +2228,7 @@ object Text {
     "q_token_count" -> (qTokenCount _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_fingerprint" -> (qFingerprint _),
     "q_near_dup" -> (qNearDup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -2547,6 +2620,44 @@ object Text {
         |GROUP BY pair
         |ORDER BY freq DESC NULLS LAST, pair ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
+    "q_bpe_train" -> {
+      // the engine's driver-orchestrated merge loop, unrolled one
+      // CTE block per round (the q_dedup_clusters / q_kmeans
+      // precedent); the double-space symbol encoding makes the merge
+      // a plain substring replace with identical greedy semantics on
+      // both engines
+      def round(t: Int, prev: String): String =
+        s"""p$t AS (SELECT t.l[r.i] AS a, t.l[r.i + 1] AS b, sum(t.n) AS freq
+           |  FROM (SELECT string_split_regex(trim(s), ' +') AS l, n
+           |        FROM $prev) t,
+           |       unnest(range(1, len(t.l))) AS r(i)
+           |  GROUP BY 1, 2),
+           |w$t AS (SELECT a, b, freq FROM p$t
+           |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+           |v$t AS (SELECT replace(v.s, ' ' || w.a || '  ' || w.b || ' ',
+           |    ' ' || w.a || w.b || ' ') AS s, v.n
+           |  FROM $prev v, w$t w)""".stripMargin
+      val sel = (1 to 6).map(t =>
+        s"SELECT $t AS round, a, b, a || b AS merged, " +
+          s"CAST(freq AS BIGINT) AS freq FROM w$t")
+        .mkString("\n|UNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+         |        FROM documents)
+         |  WHERE length(w) >= 2
+         |  GROUP BY w),
+         |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, n
+         |  FROM vocab),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")},
+         |${round(4, "v3")},
+         |${round(5, "v4")},
+         |${round(6, "v5")}
+         |$sel
+         |ORDER BY round ASC NULLS FIRST""".stripMargin
+    },
     "q_fingerprint" ->
       """SELECT doc_id,
         |  sha256(array_to_string(

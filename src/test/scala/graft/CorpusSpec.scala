@@ -52,6 +52,58 @@ class CorpusSpec extends SparkSuite with Matchers {
     b.getDouble(4) should be > 0.0
   }
 
+  test("bpe train: round 2's winner is a pair that only exists after round 1's merge") {
+    import spark.implicits._
+    // vocab: xyz ×12, xyq ×5, ab ×3. Round 1 counts (x,y)=17,
+    // (y,z)=12, (y,q)=5, (a,b)=3 → merges xy. Round 2's candidate
+    // table now contains (xy,z)=12 and (xy,q)=5 — pairs that DID NOT
+    // EXIST before round 1 applied — and (y,z)/(y,q) are gone. A
+    // non-iterative implementation (round 1's table re-ranked) would
+    // emit (y,z) here instead. Rounds 3-4 drain the rest; rounds 5-6
+    // are dry (every word fully merged) and must emit nothing.
+    val dir = tmpTables("bpe") { d =>
+      val docs =
+        Seq.fill(12)("xyz") ++ Seq.fill(5)("xyq") ++ Seq.fill(3)("ab")
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val got = graft.ops.Text.qBpeTrain(spark, dir)
+      .select($"round", $"a", $"b", $"merged", $"freq")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1, "x", "y", "xy", 17L),
+      (2, "xy", "z", "xyz", 12L),
+      (3, "xy", "q", "xyq", 5L),
+      (4, "a", "b", "ab", 3L))
+  }
+
+  test("bpe train: adjacent runs merge greedily left-to-right (aaaa -> aa aa, aaa -> aa a)") {
+    import spark.implicits._
+    // the double-space encoding's reason to exist: adjacent
+    // occurrences of the winning pair must merge like canonical
+    // greedy BPE, not skip every other occurrence (the naive
+    // single-space replace bug). "aaaa" ×4 and "aaa" ×3:
+    // round 1 counts (a,a) = 4·3 + 3·2 = 18 → merge aa; GREEDY
+    // left-to-right gives "aaaa" → [aa, aa] and "aaa" → [aa, a], so
+    // round 2 sees (aa,aa)=4 and (aa,a)=3 — a skip-every-other bug
+    // would leave "aaaa" as [aa, a, a] and emit (aa,a)=7 instead.
+    // Rounds 4-6 are dry (all words fully merged) and emit nothing.
+    val dir = tmpTables("bperun") { d =>
+      (Seq.fill(4)("aaaa") ++ Seq.fill(3)("aaa")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+    }
+    val got = graft.ops.Text.qBpeTrain(spark, dir)
+      .select($"round", $"a", $"b", $"freq")
+      .as[(Int, String, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1, "a", "a", 18L),
+      (2, "aa", "aa", 4L),
+      (3, "aa", "a", 3L))
+  }
+
   test("bigrams: single-token docs contribute nothing (sequence(1,0) guard)") {
     import spark.implicits._
     val dir = tmpTables("bigram") { d =>
