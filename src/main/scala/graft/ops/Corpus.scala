@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Ckpt, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,7 +77,7 @@ object Corpus {
         .select($"doc_id", $"split", explode(array_distinct(transform(
           sequence(lit(1), size($"t") - 7),
           i => array_join(slice($"t", i, lit(8)), " ")))).as("gram"))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   /** Exact integer-term quantization for the log-sum family: each
@@ -196,7 +196,7 @@ object Corpus {
         .select($"doc_id", explode(toks($"text")).as("term"))
         .groupBy($"doc_id", $"term")
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
       val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_len"))
       val idfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -208,7 +208,7 @@ object Corpus {
         .select($"doc_id", (lit(0.25) +
           lit(0.75) * ($"dl" * $"n_docs").cast("double") / $"tot_len").as("dln"))
       tf.join(idfTbl, "term").join(dn, "doc_id")
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   /** (doc_id, term, tf) rows for a document set — the postings
@@ -245,7 +245,7 @@ object Corpus {
           .as("df"))
     val dl = corpusTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .union(batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-      .localCheckpoint(eager = false) // stats + norm re-derive read once
+      .transform(Ckpt.mat) // stats + norm re-derive read once
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
     val idfNew = dfNew.crossJoin(broadcast(stats))
       .select(col("term"),
@@ -285,9 +285,9 @@ object Corpus {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val corpusTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) =!= 9))
-      .localCheckpoint(eager = false) // df agg + dl agg + union read once
+      .transform(Ckpt.mat) // df agg + dl agg + union read once
     val batchTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) === 9))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     mergePostings(corpusTf, batchTf)
       .select($"doc_id", $"term", $"tf",
         round($"idf" * lit(1.0e6)).cast("long").as("idf_u6"),
@@ -325,7 +325,7 @@ object Corpus {
       bm25Score(
         queryToks(Tables.documents(spark, dir).filter($"doc_id" < 3)),
         bm25Postings(spark, dir))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   /** L83 — BM25 lexical retrieval: top-10 documents per query doc by
@@ -522,7 +522,7 @@ object Corpus {
           i => struct(element_at($"t", i).as("c"),
             element_at($"t", i + 1).as("n")))).as("p"))
         .select($"doc_id", $"p.c", $"p.n")
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   def qBigramFreq(spark: SparkSession, dir: String): DataFrame = {
@@ -886,7 +886,7 @@ object Corpus {
       .join(quota, "source")
       // two consumers (survivor count + candidate filter) — one
       // materialization of the doc-grain digest table
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     // count-verified prefilter: a source keeps only its u16-prefix
     // candidates when enough survive to fill the quota; otherwise it
     // ranks all rows (exactness never depends on the tail bound)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Ckpt, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,7 +165,7 @@ object Similarity {
         .reduce(_ + _).as("bucket"))
     val sigs = base.join(bucketed, $"vec_id" === $"b_id")
       .select($"vec_id", $"bucket", $"vec", $"nrm")
-      .localCheckpoint(eager = false) // both join sides share one pass
+      .transform(Ckpt.mat) // both join sides share one pass
     val q = sigs.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"),
         $"vec".as("qv"), $"nrm".as("qn"))
@@ -380,7 +380,7 @@ object Similarity {
     val iters = 3
     val vecs = withVec(Tables.embeddings(spark, dir))
       .select($"vec_id", $"vec", expr("graft_dot(vec, vec)").as("vv"))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     def toArray(perPos: DataFrame): DataFrame = perPos
       .groupBy($"cid")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
@@ -404,7 +404,7 @@ object Similarity {
           .withColumn("rk", row_number().over(wa))
           .filter($"rk" === 1)
           .select($"vec_id", $"cid", $"vec", $"dist")
-          .localCheckpoint(eager = false) // stats + recompute read once
+          .transform(Ckpt.mat) // stats + recompute read once
         val stats = assigned.groupBy($"cid")
           .agg(count(lit(1)).as("n_vecs"),
             sum(round($"dist" * lit(1.0e4)).cast("long")).as("sse_u4"))
@@ -780,7 +780,7 @@ object Similarity {
   private def pqCodesTable(spark: SparkSession, dir: String): DataFrame =
     Text.memoized(pqCache, spark, dir) {
       val (subs, cb) = pqParts(spark, dir)
-      pqAssign(subs, cb).localCheckpoint(eager = false)
+      pqAssign(subs, cb).transform(Ckpt.mat)
     }
 
   /** L76 — product-quantization code build + occupancy audit: THE

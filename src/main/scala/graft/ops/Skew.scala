@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Ckpt
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,7 +107,7 @@ object Skew {
     // one co-partitioned shuffle join tags every row with its group
     // size; materialized once so the four branch scans below do not
     // recompute the size aggregate
-    val tagged = df.join(sizes, key).localCheckpoint(eager = false)
+    val tagged = df.join(sizes, key).transform(Ckpt.mat)
     val small = tagged.filter(col("__gsz") <= cap).drop("__gsz")
     val big = tagged.filter(col("__gsz") > cap).drop("__gsz")
     val out = col(key) +: payload.flatMap(c => Seq(col("a_" + c), col("b_" + c)))
@@ -191,7 +192,7 @@ object Skew {
       .get("spark.sql.shuffle.partitions").toInt
     df.repartitionByRange(ranges, keys.map(col) ++ order: _*)
       .withColumn("__rpid", spark_partition_id())
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
   }
 
   /** Null-safe broadcast attach of the per-(key, range) offset table

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Ckpt, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -486,7 +486,7 @@ object Text {
       .withColumn("si", expr("CAST(substring(source, 4) AS INT)"))
       .select((($"rs" - 1) * lit(20) + $"si").as("position"),
         $"doc_id", $"source", $"rs", $"score", $"n_tokens")
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
   }
 
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
@@ -690,7 +690,7 @@ object Text {
     val t = docTokens(spark, dir)
       .join(Tables.documents(spark, dir)
         .select($"doc_id", $"source", $"lang"), "doc_id")
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.alias("a")
       .join(t.alias("b"),
@@ -817,7 +817,7 @@ object Text {
       .agg(mh("0").as("s0"), mh("1").as("s1"), mh("2").as("s2"), mh("3").as("s3"))
       .withColumn("band",
         substring(sha2(concat($"s0", $"s1", $"s2", $"s3"), 256), 1, 16))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
   }
 
   /** The 20-hash estimator signature table — (doc_id, band, m0..m15)
@@ -842,7 +842,7 @@ object Text {
     memoized(mh20Cache, spark, dir)(computeMh20Sigs(spark, dir))
 
   private def computeMh20Sigs(spark: SparkSession, dir: String): DataFrame =
-    mh20Project(Tables.documents(spark, dir)).localCheckpoint(eager = false)
+    mh20Project(Tables.documents(spark, dir)).transform(Ckpt.mat)
 
   /** The 20-hash signature + band PROJECTION on any (doc_id, text)
     * frame — split out (r10) so the streaming-ingestion parity spec
@@ -883,7 +883,7 @@ object Text {
     memoized(tokCache, spark, dir)(
       Tables.documents(spark, dir)
         .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
-        .localCheckpoint(eager = false))
+        .transform(Ckpt.mat))
   }
 
   /** The deterministic 1/`mod` pair-sample predicate shared by the
@@ -917,7 +917,7 @@ object Text {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .filter(knuthSample(da = $"da", db = $"db", mod = 16))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   /** q_est_error's sampled pairs — (da, db, k): the mh20 band
@@ -943,7 +943,7 @@ object Text {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           est.cast("long").as("k"))
         .filter(knuthSample(da = $"da", db = $"db", mod = 64))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   /** The SHARED exact-Jaccard score table — (da, db, j) over the
@@ -980,7 +980,7 @@ object Text {
         .select($"da", $"db",
           round(coalesce($"i", lit(0L)) /
             ($"na" + $"nb" - coalesce($"i", lit(0L))), 4).as("j"))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
 
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
@@ -1172,7 +1172,7 @@ object Text {
         .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
         .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
         .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
     }
   }
 
@@ -1393,8 +1393,8 @@ object Text {
       .filter(!$"__p".contains(s"/$ownDir/")).drop("__p")
     val hashIdx = idx.groupBy($"dg").agg(min($"doc_id").as("exact_of"))
     val bandIdx = idx.groupBy($"band").agg(min($"doc_id").as("near_of"))
-    val sigs = bandProject(batch).localCheckpoint()
-    val verdicts = vetBatchIntra(sigs, hashIdx, bandIdx).localCheckpoint()
+    val sigs = bandProject(batch).transform(Ckpt.matNow)
+    val verdicts = vetBatchIntra(sigs, hashIdx, bandIdx).transform(Ckpt.matNow)
     val kept = verdicts.filter($"verdict" === "keep").select($"new_doc")
     val keptSigs = sigs.join(kept, sigs("doc_id") === kept("new_doc"), "left_semi")
     val root = new org.apache.hadoop.fs.Path(idxDir)
@@ -1554,7 +1554,7 @@ object Text {
       // three consumers (two self-join branches + sizes) — materialize
       // the shingle build once; the self-join's broadcast-free branches
       // cannot share an exchange otherwise
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.alias("a")
       .join(t.alias("b"),
@@ -1713,7 +1713,7 @@ object Text {
 
   private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(pairCache, spark, dir)(
-      computeSimhashPairs(spark, dir).localCheckpoint(eager = true))
+      computeSimhashPairs(spark, dir).transform(Ckpt.matNow))
 
   private def computeSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1831,7 +1831,7 @@ object Text {
     val pairs =
       if (pairsIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
           || lp == "LogicalRDD" || lp == "LocalRelation") pairsIn
-      else pairsIn.localCheckpoint()
+      else pairsIn.transform(Ckpt.matNow)
     val nEdges = 2L * pairs.count() // symmetric: each pair → 2 edges
     // the conf can be non-numeric on some runtimes ("auto" on vendor
     // platforms) — fall back to the cluster's default parallelism
@@ -1874,7 +1874,7 @@ object Text {
     var labels = edges.groupBy($"dst")
       .agg(min($"src").as("m"))
       .select($"dst".as("v"), least($"dst", $"m").as("lbl"))
-      .localCheckpoint()
+      .transform(Ckpt.matNow)
     if (sys.props.contains("graft.cc.debug"))
       println(f"[cc] init ${(System.nanoTime() - tInit) / 1e9}%.2fs")
     var sumPrev = Option.empty[BigDecimal]
@@ -1896,7 +1896,7 @@ object Text {
         .join(stepped.select($"v".as("pv"), $"lbl".as("plbl")),
           $"lbl" === $"pv", "left")
         .select($"v", least($"lbl", coalesce($"plbl", $"lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(Ckpt.mat)
       // convergence: labels only decrease, so the label sum strictly
       // decreases until fixpoint — one agg, no compare-join. Decimal
       // sum so huge doc_id domains cannot overflow the check.
@@ -1999,7 +1999,7 @@ object Text {
       // the gram table feeds BOTH sides of the match join — checkpoint
       // so the semi-join + explode subtree runs once, not twice (the
       // standing derived-self-join doctrine)
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.mat)
     val m = pairs
       .join(grams.select($"doc_id".as("da"), $"pos".as("pa"), $"gram"), "da")
       .join(grams.select($"doc_id".as("db"), $"pos".as("pb"), $"gram"),
