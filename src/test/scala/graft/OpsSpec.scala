@@ -338,9 +338,12 @@ class OpsSpec extends SparkSuite with Matchers {
       "q_ann_filtered", "q_mrl_recall", "q_rrf_fusion",
       // q_ann_upsert broadcasts the standing index's k-row centroid
       // table (bounded by the IVF cell-count parameter, not the
-      // corpus) — same class as q_ann_multiprobe's centroid hint;
-      // q_kmeans broadcasts the same k-row table once per Lloyd round
-      "q_ann_upsert", "q_kmeans",
+      // corpus) — same class as q_ann_multiprobe's centroid hint.
+      // q_kmeans broadcasts the same k-row table once per Lloyd
+      // round but is NOT here: its hints sit inside the per-round
+      // checkpointed lineage (the q_pq_codes precedent), so the
+      // visible plan is LogicalRDD + the final join/sort
+      "q_ann_upsert",
       // PQ family: the m·k=64-row codebook, the query-set×codebook
       // LUT (320 rows), and q_ivfpq's 10-deep shortlist — all bounded
       // by index parameters / probe budget, never by corpus size.
