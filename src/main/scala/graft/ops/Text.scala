@@ -620,29 +620,49 @@ object Text {
     * driver, and each round's vocab is the previous round's plus one
     * stacked replace projection (no shuffle between rounds).
     * All-integer/string output: zero rounding-tie surface. */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus vocabulary in BPE symbol encoding — (word, encoded
+    * symbol sequence, corpus count) over every distinct token.
+    * Memoized + materialized per (session, dir): the training loop's
+    * six winner jobs and the apply-side token counter all read it,
+    * so the corpus-scale scan + tokenize + count happens once per
+    * pass (measured: the unshared form re-ran it per round, 4.7 s →
+    * 1.6 s). Encoding: each symbol wrapped in DOUBLE spaces (see
+    * [[qBpeTrain]] — this is what makes a merge one plain replace
+    * with exactly-greedy semantics). */
+  // lazy: declared above memoCaches in file order (the curricCache
+  // precedent — a strict val here NPEs Text's static init)
+  private lazy val bpeVocabCache = newMemoCache()
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    memoized(bpeVocabCache, spark, dir) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(explode(toks($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .select($"w",
+          concat(regexp_replace($"w", "(.)", "  $1"), lit("  ")).as("s"),
+          $"n")
+        .transform(Ckpt.mat)
+    }
+
+  /** The trained merge list: `rounds` iterations of count-pairs →
+    * top-1 winner → apply, over the length ≥ 2 training vocabulary
+    * (single-char words carry no pairs — the L75 contract). Each
+    * round's winner is a 1-row driver read (the CC-fixpoint /
+    * kmeansSse iteration-state class); stops early if the vocabulary
+    * merges dry. Shared by [[qBpeTrain]] (emits it) and
+    * [[qBpeApply]] (tokenizes with it). */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String,
+                               rounds: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
-    val rounds = 6
-    val vocab0 = Tables.documents(spark, dir)
-      .select(explode(toks($"text")).as("w"))
-      .filter(length($"w") >= 2)
-      .groupBy($"w").agg(count(lit(1)).as("n"))
-      .select(concat(regexp_replace($"w", "(.)", "  $1"), lit("  ")).as("s"),
-        $"n")
-      // every round's winner job re-reads the vocabulary: without
-      // this one materialization the corpus scan + tokenize + count
-      // re-runs per round (6× — measured 4.7 s → the corpus-scale
-      // work happens once, as the L75 doctrine promises)
-      .transform(Ckpt.mat)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var vocab = vocab0
+    var vocab = bpeVocab(spark, dir)
+      .filter(length(col("w")) >= 2).select(col("s"), col("n"))
     var r = 1
     var dry = false // vocabulary fully merged: no adjacent pair left
     while (r <= rounds && !dry) {
-      // the round's 1-row iteration state (the CC-fixpoint /
-      // kmeansSse driver-read class); the oracle's empty w-CTE
-      // contributes zero rows for dry rounds, so stopping here keeps
-      // the two engines' row sets identical
+      // the oracle's empty w-CTE contributes zero rows for dry
+      // rounds, so stopping here keeps the two engines' row sets
+      // identical
       vocab
         .select($"n", split(trim($"s"), " +").as("syms"))
         .filter(size($"syms") >= 2)
@@ -664,9 +684,56 @@ object Text {
         case _ => dry = true
       }
     }
-    merges.result().toDF("round", "a", "b", "freq")
+    merges.result()
+  }
+
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir, rounds = 6)
+      .toDF("round", "a", "b", "freq")
       .select($"round", $"a", $"b", concat($"a", $"b").as("merged"), $"freq")
       .orderBy($"round".asc_nulls_first)
+  }
+
+  /** L97 — trained-tokenizer application: tokenize the corpus with
+    * the merge list L96 just learned and report per-source fertility
+    * facts (docs, word occurrences, trained-subword tokens) — the
+    * number a data-mixture designer actually budgets with, where L68
+    * calibrates an EXISTING tokenizer via a regex proxy. Closing the
+    * train→apply loop also audits the training itself: a merge list
+    * that fails to compress its own training corpus is wrong.
+    *
+    * Scale shape: the merges apply at VOCABULARY grain — |merges|
+    * stacked replace projections over the memoized [[bpeVocab]]
+    * table (never per occurrence; a 100 TB corpus tokenizes by
+    * joining its word occurrences to a |vocab|-row code table,
+    * exactly like production subword tokenization over a frequency-
+    * deduped vocab). The occurrence side is one map-side-combinable
+    * (source, word) count off the documents scan, joined UNHINTED on
+    * the word key (vocab is corpus-derived — never broadcast), then
+    * a ≤|sources|-row rollup. All-integer output: zero tie surface.
+    * Single-char words bypass training (L75's length ≥ 2 contract)
+    * but still count 1 token each here — the apply side covers the
+    * WHOLE vocabulary. */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir, rounds = 6)
+    val coded = merges.foldLeft(bpeVocab(spark, dir).select($"w", $"s")) {
+      case (v, (_, a, b, _)) =>
+        v.select($"w", replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"))
+    }.select($"w", size(split(trim($"s"), " +")).cast("long").as("n_sub"))
+    val occ = Tables.documents(spark, dir)
+      .select($"source", explode(toks($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val nd = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    occ.join(coded, "w")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_words"),
+        sum($"c" * $"n_sub").as("n_subtokens"))
+      .join(nd, "source")
+      .select($"source", $"n_docs", $"n_words", $"n_subtokens")
+      .orderBy($"source".asc_nulls_first)
   }
 
   /** [EXT] document fingerprint: sha2 of the sorted distinct token
@@ -2234,6 +2301,7 @@ object Text {
     "q_token_fertility" -> (qTokenFertility _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_fingerprint" -> (qFingerprint _),
     "q_near_dup" -> (qNearDup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -2258,6 +2326,41 @@ object Text {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sentences" -> (qSentences _),
   )
+
+  /** Shared oracle CTE prefix for the BPE family (q_bpe_train,
+    * q_bpe_apply): the engine's driver-orchestrated merge loop,
+    * unrolled one CTE block per round (the q_dedup_clusters /
+    * q_kmeans precedent). The double-space symbol encoding makes
+    * each merge a plain substring replace with identical greedy
+    * semantics on both engines. Ends with w1..w6 (per-round winners)
+    * and v6 (the merged training vocabulary). */
+  private val bpeOracleTrainCtes: String = {
+    def round(t: Int, prev: String): String =
+      s"""p$t AS (SELECT t.l[r.i] AS a, t.l[r.i + 1] AS b, sum(t.n) AS freq
+         |  FROM (SELECT string_split_regex(trim(s), ' +') AS l, n
+         |        FROM $prev) t,
+         |       unnest(range(1, len(t.l))) AS r(i)
+         |  GROUP BY 1, 2),
+         |w$t AS (SELECT a, b, freq FROM p$t
+         |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+         |v$t AS (SELECT replace(v.s, ' ' || w.a || '  ' || w.b || ' ',
+         |    ' ' || w.a || w.b || ' ') AS s, v.n
+         |  FROM $prev v, w$t w)""".stripMargin
+    s"""vocab AS (
+       |  SELECT w, count(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2
+       |  GROUP BY w),
+       |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, n
+       |  FROM vocab),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")},
+       |${round(4, "v3")},
+       |${round(5, "v4")},
+       |${round(6, "v5")}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_est_error" -> {
@@ -2626,42 +2729,50 @@ object Text {
         |ORDER BY freq DESC NULLS LAST, pair ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
     "q_bpe_train" -> {
-      // the engine's driver-orchestrated merge loop, unrolled one
-      // CTE block per round (the q_dedup_clusters / q_kmeans
-      // precedent); the double-space symbol encoding makes the merge
-      // a plain substring replace with identical greedy semantics on
-      // both engines
-      def round(t: Int, prev: String): String =
-        s"""p$t AS (SELECT t.l[r.i] AS a, t.l[r.i + 1] AS b, sum(t.n) AS freq
-           |  FROM (SELECT string_split_regex(trim(s), ' +') AS l, n
-           |        FROM $prev) t,
-           |       unnest(range(1, len(t.l))) AS r(i)
-           |  GROUP BY 1, 2),
-           |w$t AS (SELECT a, b, freq FROM p$t
-           |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
-           |v$t AS (SELECT replace(v.s, ' ' || w.a || '  ' || w.b || ' ',
-           |    ' ' || w.a || w.b || ' ') AS s, v.n
-           |  FROM $prev v, w$t w)""".stripMargin
       val sel = (1 to 6).map(t =>
         s"SELECT $t AS round, a, b, a || b AS merged, " +
           s"CAST(freq AS BIGINT) AS freq FROM w$t")
         .mkString("\n|UNION ALL ")
-      s"""WITH vocab AS (
-         |  SELECT w, count(*) AS n
-         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
-         |        FROM documents)
-         |  WHERE length(w) >= 2
-         |  GROUP BY w),
-         |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, n
-         |  FROM vocab),
-         |${round(1, "v0")},
-         |${round(2, "v1")},
-         |${round(3, "v2")},
-         |${round(4, "v3")},
-         |${round(5, "v4")},
-         |${round(6, "v5")}
+      s"""WITH $bpeOracleTrainCtes
          |$sel
          |ORDER BY round ASC NULLS FIRST""".stripMargin
+    },
+    "q_bpe_apply" -> {
+      // the apply chain re-encodes the FULL vocabulary (all lengths)
+      // and replays the six learned merges; scalar subqueries with a
+      // chr(1) no-op fallback keep dry rounds harmless, mirroring the
+      // engine's early stop
+      def app(t: Int, prev: String): String =
+        s"""e$t AS (SELECT w, replace(s,
+           |    coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM w$t), chr(1)),
+           |    coalesce((SELECT ' ' || a || b || ' ' FROM w$t), chr(1))) AS s
+           |  FROM $prev)""".stripMargin
+      s"""WITH $bpeOracleTrainCtes,
+         |fw AS (SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+         |  FROM documents),
+         |e0 AS (SELECT w, regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s
+         |  FROM fw),
+         |${app(1, "e0")},
+         |${app(2, "e1")},
+         |${app(3, "e2")},
+         |${app(4, "e3")},
+         |${app(5, "e4")},
+         |${app(6, "e5")},
+         |cnt AS (SELECT w, len(string_split_regex(trim(s), ' +')) AS n_sub
+         |  FROM e6),
+         |occ AS (SELECT source, w, count(*) AS c
+         |  FROM (SELECT source,
+         |      unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+         |    FROM documents)
+         |  GROUP BY source, w),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents
+         |  GROUP BY source)
+         |SELECT o.source, nd.n_docs,
+         |  CAST(sum(o.c) AS BIGINT) AS n_words,
+         |  CAST(sum(o.c * cnt.n_sub) AS BIGINT) AS n_subtokens
+         |FROM occ o JOIN cnt USING (w) JOIN nd USING (source)
+         |GROUP BY o.source, nd.n_docs
+         |ORDER BY source ASC NULLS FIRST""".stripMargin
     },
     "q_fingerprint" ->
       """SELECT doc_id,

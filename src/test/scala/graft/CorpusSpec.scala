@@ -64,8 +64,8 @@ class CorpusSpec extends SparkSuite with Matchers {
     val dir = tmpTables("bpe") { d =>
       val docs =
         Seq.fill(12)("xyz") ++ Seq.fill(5)("xyq") ++ Seq.fill(3)("ab")
-      docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "s0") }
+        .toDF("doc_id", "text", "source")
         .write.parquet(s"$d/documents.parquet")
     }
     val got = graft.ops.Text.qBpeTrain(spark, dir)
@@ -76,6 +76,12 @@ class CorpusSpec extends SparkSuite with Matchers {
       (2, "xy", "z", "xyz", 12L),
       (3, "xy", "q", "xyq", 5L),
       (4, "a", "b", "ab", 3L))
+    // the apply side: four merges fully fuse every word, so the
+    // trained tokenizer emits exactly one subtoken per word occurrence
+    graft.ops.Text.qBpeApply(spark, dir)
+      .select($"source", $"n_docs", $"n_words", $"n_subtokens")
+      .as[(String, Long, Long, Long)].collect().toSeq shouldBe
+      Seq(("s0", 20L, 20L, 20L))
   }
 
   test("bpe train: adjacent runs merge greedily left-to-right (aaaa -> aa aa, aaa -> aa a)") {
