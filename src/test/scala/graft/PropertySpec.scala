@@ -54,6 +54,34 @@ object PropertySpec extends Properties("graft") {
           graft.media.Multimodal.transcodeStub(arr, audio))
     }
 
+  // the claim q_bpe_train/q_bpe_apply's cross-engine correctness
+  // rides on: applying a merge to the double-space symbol encoding
+  // via ONE plain non-overlapping left-to-right substring replace
+  // (Spark `replace`, DuckDB `replace`, java String.replace — same
+  // semantics) equals canonical GREEDY BPE on the symbol sequence.
+  // Symbols drawn from a 2-char alphabet at lengths 1-3 maximize the
+  // hazards the encoding exists to rule out: adjacent runs sharing a
+  // boundary ("aaaa"), and pairs whose symbols are prefixes/suffixes
+  // of neighbors ("a" vs "ab" vs "ba").
+  private val bpeSymGen: Gen[String] =
+    Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  property("bpe: double-space encode ∘ replace = greedy merge") =
+    forAll(Gen.nonEmptyListOf(bpeSymGen).map(_.take(12)),
+      bpeSymGen, bpeSymGen) { (syms: List[String], a: String, b: String) =>
+      def greedy(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: greedy(rest)
+        case x :: rest => x :: greedy(rest)
+        case Nil => Nil
+      }
+      val enc = syms.map("  " + _).mkString("") + "  "
+      val merged = enc.replace(s" $a  $b ", s" $a$b ")
+      val decoded = merged.trim.split(" +").toList
+      (decoded == greedy(syms)) :|
+        s"syms=$syms pair=($a,$b) decoded=$decoded expected=${greedy(syms)}"
+    }
+
   property("minhash is order- and duplication-invariant") =
     forAll(Gen.nonEmptyListOf(Gen.alphaLowerStr.map(_.take(6)))) { toks =>
       def sig(ts: Seq[String]): String = ts.map(t =>
