@@ -784,6 +784,69 @@ object Text {
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
+  /** L98 — asymmetric containment dedup: docs whose token set is
+    * ≥ 90% CONTAINED in another doc's while the pair's Jaccard stays
+    * < 0.9 — exactly the quote-inclusion / excerpt class the
+    * symmetric L2 pass is blind to (a small doc quoted inside a big
+    * one has high overlap coefficient but low Jaccard, because the
+    * big doc's extra tokens dilute the union). Output at CONTAINEE
+    * grain per the star-reduction doctrine — one row per contained
+    * doc with its best container (argmax shared tokens, ties →
+    * bigger container → lower id), never the pair surface: the
+    * verdict a curation pass acts on is "this doc is redundant
+    * given that one".
+    *
+    * Decisions are PURE INTEGER: overlap ≥ 0.9 ⇔ 10·|A∩B| ≥
+    * 9·min(|A|,|B|) and Jaccard < 0.9 ⇔ 10·|A∩B| < 9·|A∪B| — zero
+    * rounding-tie surface; the emitted per-mille containment is one
+    * exact integer floor-division. Containee = the smaller token
+    * set; equal sizes take the higher doc_id (deterministic — at
+    * equal size containment degenerates toward Jaccard anyway).
+    *
+    * Scale shape: same blocked token self-join + doc-grain size
+    * joins as q_near_dup (the declared exact contract; the 100 TB
+    * candidate path is the LSH band join, exactly as for L2 —
+    * containment then re-scores band candidates instead of block
+    * pairs), one containee-keyed argmin window (unbounded key),
+    * sizes never broadcast. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = docTokens(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"lang"), "doc_id")
+      .transform(Ckpt.mat)
+    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = t.alias("a")
+      .join(t.alias("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") === col("b.source") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val scored = inter
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .filter($"i" * 10 >= least($"na", $"nb") * 9 &&
+        $"i" * 10 < ($"na" + $"nb" - $"i") * 9)
+      .select(
+        when($"na" < $"nb", $"da").when($"nb" < $"na", $"db")
+          .otherwise(greatest($"da", $"db")).as("doc_id"),
+        when($"na" < $"nb", $"db").when($"nb" < $"na", $"da")
+          .otherwise(least($"da", $"db")).as("container"),
+        least($"na", $"nb").as("n_tok"),
+        greatest($"na", $"nb").as("c_tok"),
+        $"i")
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"i".desc, $"c_tok".desc, $"container".asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"container", $"n_tok", $"c_tok", $"i",
+        expr("i * 1000 div n_tok").as("cont_pm"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** L2 scale path — MinHash signatures: 4 salted sha2 min-hashes per
     * doc (lexicographic min of hex digests = random permutation via
     * hash ordering), banded into one LSH bucket key. At 100 TB the
@@ -2304,6 +2367,7 @@ object Text {
     "q_bpe_apply" -> (qBpeApply _),
     "q_fingerprint" -> (qFingerprint _),
     "q_near_dup" -> (qNearDup _),
+    "q_containment" -> (qContainment _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -2798,6 +2862,36 @@ object Text {
         |SELECT da, db, jaccard FROM j
         |WHERE jaccard >= 0.9
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
+    "q_containment" ->
+      """WITH t AS (SELECT DISTINCT doc_id, source, lang,
+        |    unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.source = b.source
+        |    AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sc0 AS (SELECT da, db, i, sa.n AS na, sb.n AS nb
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id),
+        |sc AS (SELECT * FROM sc0
+        |  WHERE i * 10 >= least(na, nb) * 9
+        |    AND i * 10 < (na + nb - i) * 9),
+        |cand AS (SELECT
+        |    CASE WHEN na < nb THEN da WHEN nb < na THEN db
+        |      ELSE greatest(da, db) END AS doc_id,
+        |    CASE WHEN na < nb THEN db WHEN nb < na THEN da
+        |      ELSE least(da, db) END AS container,
+        |    least(na, nb) AS n_tok, greatest(na, nb) AS c_tok, i
+        |  FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY i DESC, c_tok DESC, container ASC) AS rn FROM cand)
+        |SELECT doc_id, container, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(c_tok AS BIGINT) AS c_tok, CAST(i AS BIGINT) AS i,
+        |  CAST((i * 1000) // n_tok AS BIGINT) AS cont_pm
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t0 AS (SELECT doc_id, source, lang,
         |    string_split_regex(trim(lower(text)), ' +') AS tk

@@ -99,7 +99,8 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     // the derivation's documented blind spot): hand-enrolled
     "q_kmeans",          // argmin assignment ties + centroid sums
     "q_bpe_train",       // per-round winner pick under freq ties
-    "q_bpe_apply")       // tokenizes with the q_bpe_train winners
+    "q_bpe_apply",       // tokenizes with the q_bpe_train winners
+    "q_containment")     // per-containee best-container rank pick
 
   test("the risky list covers every rank-window query (derived from the physical plans)") {
     // r12 verdict #3: the enrollment above was hand-curated, so a NEW
