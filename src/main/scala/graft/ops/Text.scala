@@ -753,31 +753,44 @@ object Text {
     * (source, lang) so the candidate space is per-block quadratic,
     * not corpus-quadratic. jaccard = |A∩B| / (|A|+|B|−|A∩B|) with the
     * intersection counted via a shared-token self-join. */
+  /** The (source, lang)-blocked token-intersection pair table —
+    * (da, db, inter, na, nb) for every block pair sharing ≥ 1 token —
+    * memoized per (session, dir): q_near_dup (Jaccard filter) and
+    * q_containment (integer overlap gates) both score off this exact
+    * surface, and both were paying the same self-join shuffle
+    * independently (r13 PassSim A/B: family 3.5 s → the memo build +
+    * two cheap reads). `sizes` stays a plain doc-keyed equi-join —
+    * one row PER DOCUMENT, corpus-sized, never broadcast. */
+  private lazy val tokenPairCache = newMemoCache()
+  private def tokenPairScores(spark: SparkSession, dir: String): DataFrame =
+    memoized(tokenPairCache, spark, dir) {
+      import spark.implicits._
+      // ride the memoized token-set table + a metadata equi-join for
+      // the (source, lang) block keys instead of re-tokenizing (r12
+      // A/B: the inline tokenize fed three consumers uncheckpointed —
+      // the memo + one materialization reads the build once per pass)
+      val t = docTokens(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select($"doc_id", $"source", $"lang"), "doc_id")
+        .transform(Ckpt.mat)
+      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = t.alias("a")
+        .join(t.alias("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") === col("b.source") &&
+            col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+        .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+        .transform(Ckpt.mat)
+    }
+
   def qNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ride the memoized token-set table + a metadata equi-join for
-    // the (source, lang) block keys instead of re-tokenizing (r12
-    // A/B: the inline tokenize fed three consumers uncheckpointed —
-    // the memo + one materialization reads the build once per pass)
-    val t = docTokens(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select($"doc_id", $"source", $"lang"), "doc_id")
-      .transform(Ckpt.mat)
-    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = t.alias("a")
-      .join(t.alias("b"),
-        col("a.tok") === col("b.tok") &&
-          col("a.source") === col("b.source") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    // `sizes` is one row PER DOCUMENT — corpus-sized, never broadcast.
-    // Plain equi-joins shuffle on the doc id (the same key `inter` is
-    // already grouped by, so the exchange is cheap and bounded).
-    inter
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+    tokenPairScores(spark, dir)
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.9)
       .select($"da", $"db", $"jaccard")
@@ -811,22 +824,8 @@ object Text {
     * sizes never broadcast. */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = docTokens(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select($"doc_id", $"source", $"lang"), "doc_id")
-      .transform(Ckpt.mat)
-    val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = t.alias("a")
-      .join(t.alias("b"),
-        col("a.tok") === col("b.tok") &&
-          col("a.source") === col("b.source") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    val scored = inter
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+    val scored = tokenPairScores(spark, dir)
+      .withColumnRenamed("inter", "i")
       .filter($"i" * 10 >= least($"na", $"nb") * 9 &&
         $"i" * 10 < ($"na" + $"nb" - $"i") * 9)
       .select(
