@@ -649,6 +649,45 @@ object Corpus {
     * budget-sized chunks ((cum−n_tok) div B < (cum−1) div B;
     * zero-token docs span nothing and never cross). All-integer
     * output, zero tie surface. */
+  /** The pow-2 padding buckets L99 audits — shared between the
+    * engine's when-chain and the oracle's CASE chain so the two can
+    * never drift; pure integer comparisons, no log2 float surface
+    * (ceil(log2(2^k)) is a 1-ulp coin flip across engines). */
+  private[graft] val lengthBuckets: Seq[Long] =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** L99 — padding-waste audit for batch construction: if sequences
+    * batch by pow-2 length bucket (the pad-to-bucket alternative to
+    * L22's concat-and-pack), how many pad tokens does each bucket
+    * burn? Per bucket: docs, real tokens, padded tokens at the
+    * bucket ceiling, and the integer per-mille waste — the table a
+    * batch builder reads before choosing bucket boundaries or
+    * switching to packing (L92 prices packing's fragmentation; this
+    * prices bucketing's padding — the two sides of the same
+    * trade). Scale shape: one codegen projection (token count +
+    * integer when-chain bucket) over the documents scan + a
+    * ≤\|buckets\|-row hash agg — partial aggregation makes the
+    * shuffle \|buckets\|×\|tasks\| rows at any corpus size.
+    * All-integer output; waste_pm is one exact floor division. */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = size(toks($"text")).cast("long")
+    val bucket = lengthBuckets.tail.foldLeft(
+      when(n <= lengthBuckets.head, lengthBuckets.head)) {
+      (acc, b) => acc.when(n <= b, b)
+    }.otherwise(lit(16384L))
+    Tables.documents(spark, dir)
+      .select(bucket.as("bucket"), n.as("n_tok"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .select($"bucket", $"n_docs", $"n_tokens",
+        ($"n_docs" * $"bucket").as("n_padded"),
+        ($"n_docs" * $"bucket" - $"n_tokens").as("n_waste"),
+        expr("(n_docs * bucket - n_tokens) * 1000 div (n_docs * bucket)")
+          .as("waste_pm"))
+      .orderBy($"bucket".asc_nulls_first)
+  }
+
   def qPackFragmentation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val budget = 512L
@@ -1408,6 +1447,7 @@ object Corpus {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_upsert" -> (qBm25Upsert _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_ndcg" -> (qNdcg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1883,6 +1923,22 @@ object Corpus {
           |  FROM scored)
           |SELECT q_id, doc_id, rnk, score_u6 FROM r WHERE rnk <= 10
           |ORDER BY q_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin),
+    "q_length_buckets" -> {
+      // CASE chain generated from the SAME bucket list as the engine
+      val chain = lengthBuckets.map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+      s"""WITH d AS (SELECT len(string_split_regex(trim(lower(text)), ' +')) AS n
+         |  FROM documents),
+         |b AS (SELECT CASE $chain ELSE 16384 END AS bucket, n FROM d),
+         |g AS (SELECT bucket, count(*) AS n_docs, sum(n) AS n_tokens
+         |  FROM b GROUP BY bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_docs * bucket AS BIGINT) AS n_padded,
+         |  CAST(n_docs * bucket - n_tokens AS BIGINT) AS n_waste,
+         |  CAST((n_docs * bucket - n_tokens) * 1000 // (n_docs * bucket)
+         |    AS BIGINT) AS waste_pm
+         |FROM g ORDER BY bucket ASC NULLS FIRST""".stripMargin
+    },
     // the engine merges standing + batch incrementally; the oracle
     // rebuilds from scratch over the full corpus — incremental ==
     // rebuild IS the CDC contract under audit
