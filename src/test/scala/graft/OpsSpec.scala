@@ -388,7 +388,7 @@ class OpsSpec extends SparkSuite with Matchers {
       case other => other
     }
     val bounded = Set("source", "lang", "key_name", "segment", "split",
-      "event_type", "layout")
+      "event_type", "layout", "bucket")
     val adjudicated: Set[String] = Set()
     val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val exec = unwrap(SparkEntry.queries(name)(spark, sf)
