@@ -234,9 +234,30 @@ object Corpus {
     * their NATURAL grains exactly like [[bm25Postings]] — every doc's
     * norm legitimately changes when n_docs/tot_len move, which is why
     * dln lives at doc grain, not inside the posting rows. Runs as-is
-    * inside foreachBatch (IncrementalIndexSpec's live-loop shape). */
+    * inside foreachBatch (IncrementalIndexSpec's live-loop shape).
+    *
+    * CONTRACT: the standing and arriving doc sets must be DISJOINT —
+    * tf/df/dl are additive only over disjoint docs, so an overlap
+    * (a re-ingested/updated doc in a real CDC loop) silently
+    * double-counts. Both call sites satisfy it structurally (pmod
+    * partition / MemoryStream batches), and under
+    * `spark.graft.debugChecks=true` the contract is ASSERTED with a
+    * semi-join probe (one bounded extra job — debug only; an update
+    * path should drop standing rows for arriving doc_ids first,
+    * turning the upsert into this disjoint merge). */
+  private[graft] val DebugChecksFlag = "spark.graft.debugChecks"
+
   private[graft] def mergePostings(corpusTf: DataFrame,
                                    batchTf: DataFrame): DataFrame = {
+    if (corpusTf.sparkSession.conf.get(DebugChecksFlag, "false").toBoolean) {
+      val overlap = corpusTf.select(col("doc_id"))
+        .join(batchTf.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "mergePostings: standing and arriving doc sets overlap — " +
+          "tf/df/dl would double-count; drop the standing rows for " +
+          "arriving doc_ids (upsert) before merging")
+    }
     val dfC = corpusTf.groupBy(col("term")).agg(count(lit(1)).as("df_c"))
     val dfB = batchTf.groupBy(col("term")).agg(count(lit(1)).as("df_b"))
     val dfNew = dfC.join(dfB, Seq("term"), "full_outer")

@@ -638,8 +638,13 @@ object Text {
       Tables.documents(spark, dir)
         .select(explode(toks($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
+        // '([^ ])' not '(.)': tokens are split only on spaces, so
+        // control chars survive into them, and Java's '.' excludes
+        // \r, U+0085, U+2028, U+2029 while DuckDB's RE2 '.' excludes
+        // only \n — '[^ ]' is equivalent on space-free tokens and
+        // identical across both regex engines (oracle CTE matches).
         .select($"w",
-          concat(regexp_replace($"w", "(.)", "  $1"), lit("  ")).as("s"),
+          concat(regexp_replace($"w", "([^ ])", "  $1"), lit("  ")).as("s"),
           $"n")
         .transform(Ckpt.mat)
     }
@@ -650,8 +655,24 @@ object Text {
     * round's winner is a 1-row driver read (the CC-fixpoint /
     * kmeansSse iteration-state class); stops early if the vocabulary
     * merges dry. Shared by [[qBpeTrain]] (emits it) and
-    * [[qBpeApply]] (tokenizes with it). */
-  private[graft] def bpeMerges(spark: SparkSession, dir: String,
+    * [[qBpeApply]] (tokenizes with it) — and MEMOIZED per
+    * (session, dir) alongside [[bpeVocab]] (it is deterministic:
+    * integer counts, total-ordered tie-break), so train and apply
+    * share ONE training pass instead of each re-running the six
+    * sequential winner jobs (the r13 advice item; the vocab table
+    * was memoized, the learned merge list was not). */
+  /** Training rounds for the L96/L97 contract — pinned here because
+    * the memo key is (session, dir) only: a per-rounds variant would
+    * alias in the cache. The 6-round unrolled oracle CTE matches. */
+  private[graft] val bpeRounds = 6
+
+  private lazy val bpeMergeCache =
+    newMemoCacheOf[Seq[(Int, String, String, Long)]]()
+  private[graft] def bpeMerges(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    memoized(bpeMergeCache, spark, dir)(computeBpeMerges(spark, dir, bpeRounds))
+
+  private def computeBpeMerges(spark: SparkSession, dir: String,
                                rounds: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -689,7 +710,7 @@ object Text {
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    bpeMerges(spark, dir, rounds = 6)
+    bpeMerges(spark, dir)
       .toDF("round", "a", "b", "freq")
       .select($"round", $"a", $"b", concat($"a", $"b").as("merged"), $"freq")
       .orderBy($"round".asc_nulls_first)
@@ -717,7 +738,7 @@ object Text {
     * WHOLE vocabulary. */
   def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, dir, rounds = 6)
+    val merges = bpeMerges(spark, dir)
     val coded = merges.foldLeft(bpeVocab(spark, dir).select($"w", $"s")) {
       case (v, (_, a, b, _)) =>
         v.select($"w", replace($"s", lit(s" $a  $b "), lit(s" $a$b ")).as("s"))
@@ -752,7 +773,15 @@ object Text {
   /** L2 — near-dup pairs by token-set Jaccard, blocked by
     * (source, lang) so the candidate space is per-block quadratic,
     * not corpus-quadratic. jaccard = |A∩B| / (|A|+|B|−|A∩B|) with the
-    * intersection counted via a shared-token self-join. */
+    * intersection counted via a shared-token self-join.
+    *
+    * Boundary note (r13 advice): this query's gate is the ROUNDED
+    * round(j, 4) ≥ 0.9 while L98 q_containment's Jaccard ceiling is
+    * the EXACT integer 10·|A∩B| < 9·|A∪B| — pairs whose exact
+    * Jaccard lands in [0.89995, 0.9) satisfy BOTH queries, so the
+    * two outputs are not strictly disjoint at that rounding
+    * boundary. Each query matches its own oracle; the overlap is a
+    * documented contract, not a defect. */
   /** The (source, lang)-blocked token-intersection pair table —
     * (da, db, inter, na, nb) for every block pair sharing ≥ 1 token —
     * memoized per (session, dir): q_near_dup (Jaccard filter) and
@@ -799,7 +828,10 @@ object Text {
 
   /** L98 — asymmetric containment dedup: docs whose token set is
     * ≥ 90% CONTAINED in another doc's while the pair's Jaccard stays
-    * < 0.9 — exactly the quote-inclusion / excerpt class the
+    * < 0.9 (exact-integer gate; pairs with exact Jaccard in
+    * [0.89995, 0.9) ALSO pass L2's rounded ≥ 0.9 filter — the two
+    * outputs overlap at that rounding boundary, see [[qNearDup]])
+    * — exactly the quote-inclusion / excerpt class the
     * symmetric L2 pass is blind to (a small doc quoted inside a big
     * one has high overlap coefficient but low Jaccard, because the
     * big doc's extra tokens dilute the union). Output at CONTAINEE
@@ -862,15 +894,23 @@ object Text {
     * three behaviors instead of hand-extending three lists. */
   private[ops] val memoCaches =
     scala.collection.mutable.ArrayBuffer
-      .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]]
+      .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
 
-  private[ops] def newMemoCache()
-      : scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame] = {
+  /** Registers a memo cache holding values of any type `T` — most
+    * caches hold DataFrames (see [[newMemoCache]]), but driver-side
+    * iteration results (e.g. the BPE merge list, a Seq) ride the
+    * same registry so eviction/clear/dirs treat them uniformly. */
+  private[ops] def newMemoCacheOf[T]()
+      : scala.collection.concurrent.TrieMap[(SparkSession, String), T] = {
     val c = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+      .empty[(SparkSession, String), T]
     memoCaches.synchronized { memoCaches += c }
     c
   }
+
+  private[ops] def newMemoCache()
+      : scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame] =
+    newMemoCacheOf[DataFrame]()
 
   /** Memoized per (session, dir) like [[clusterLabels]]: five
     * registry queries (sig dump, banded candidates, multi-band,
@@ -921,9 +961,9 @@ object Text {
   private val evictionHooked =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Boolean]
 
-  private[ops] def memoized(
-      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
+  private[ops] def memoized[T](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T],
+      spark: SparkSession, dir: String)(compute: => T): T = {
     if (evictionHooked.putIfAbsent(spark.sparkContext, true).isEmpty)
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -2415,7 +2455,7 @@ object Text {
        |        FROM documents)
        |  WHERE length(w) >= 2
        |  GROUP BY w),
-       |v0 AS (SELECT regexp_replace(w, '(.)', '  \\1', 'g') || '  ' AS s, n
+       |v0 AS (SELECT regexp_replace(w, '([^ ])', '  \\1', 'g') || '  ' AS s, n
        |  FROM vocab),
        |${round(1, "v0")},
        |${round(2, "v1")},

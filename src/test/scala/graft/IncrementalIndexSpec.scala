@@ -153,6 +153,38 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
     published.size should be > 0
   }
 
+  test("mergePostings debug guard: overlapping doc sets rejected, disjoint pass") {
+    import spark.implicits._
+    val a = graft.ops.Corpus.tfRows(
+      Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    val b = graft.ops.Corpus.tfRows(
+      Seq((2L, "gamma delta"), (3L, "epsilon")).toDF("doc_id", "text"))
+    val disjoint = graft.ops.Corpus.tfRows(
+      Seq((3L, "epsilon"), (4L, "zeta")).toDF("doc_id", "text"))
+
+    // off by default: the overlap contract is documented, not probed
+    // (zero extra jobs in production) — the merge runs, double-counts
+    // and all, because both real call sites are structurally disjoint
+    graft.ops.Corpus.mergePostings(a, b).count() should be > 0L
+
+    spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "true")
+    try {
+      the[IllegalArgumentException] thrownBy
+        graft.ops.Corpus.mergePostings(a, b).count() should have message
+        "requirement failed: mergePostings: standing and arriving doc " +
+          "sets overlap — tf/df/dl would double-count; drop the standing " +
+          "rows for arriving doc_ids (upsert) before merging"
+      // disjoint sets pass with the probe on, and the probe changes
+      // nothing about the merged output
+      graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet shouldBe {
+        spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
+        val base = graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet
+        spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "true")
+        base
+      }
+    } finally spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
+  }
+
   test("full service vet: intra-batch lattice + write-back in one loop") {
     import spark.implicits._
 
