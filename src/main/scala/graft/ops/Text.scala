@@ -1061,7 +1061,7 @@ object Text {
   }
 
   /** The deterministic 1/`mod` pair-sample predicate shared by the
-    * two estimator evals (lsh 1/16, mh20 1/64):
+    * two estimator evals (lsh 1/32, mh20 1/128):
     * integer Knuth multiplicative mix of the id pair
     * (no RNG, identical on both engines, no digest per pair — sha2 on
     * 2.6M emitted pairs measured ~2 s), independent of content
@@ -1075,8 +1075,11 @@ object Text {
       pmod(db, lit(2147483647L)), lit(mod.toLong)) === 0
 
   /** q_lsh_precision's sampled candidate pairs: the 4-salt LSH band
-    * self-join (quadratic in the densest band) cut to the 1/16 Knuth
-    * sample. Memoized per (session, dir): the pair set feeds both the
+    * self-join (quadratic in the densest band) cut to the 1/32 Knuth
+    * sample (r14: was 1/16 — the eval is one row of precision
+    * fractions over ~86k sampled pairs at sf0.1, stderr ~0.002, and
+    * the shared exact-scoring pass was dominated by this sample;
+    * measured values move only in the 3rd decimal). Memoized per (session, dir): the pair set feeds both the
     * precision eval itself and the shared exact-Jaccard score table
     * ([[sampledPairScores]]), so the quadratic band join runs once
     * per session/input. */
@@ -1090,14 +1093,16 @@ object Text {
         .join(sig.alias("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .filter(knuthSample(da = $"da", db = $"db", mod = 16))
+        .filter(knuthSample(da = $"da", db = $"db", mod = 32))
         .transform(Ckpt.mat)
     }
 
   /** q_est_error's sampled pairs — (da, db, k): the mh20 band
-    * self-join cut to a 1/64 Knuth sample (r12: was 1/16 — the
-    * estimator-error curve is per-k means over thousands of pairs
-    * even at 1/64, and the exact-Jaccard scoring of the sampled set
+    * self-join cut to a 1/128 Knuth sample (r12 1/16→1/64, r14 →1/128 — the
+    * estimator-error curve is per-k means over hundreds-to-thousands
+    * of pairs even at 1/128 for every mid-curve k (sf0.1: k≥5 keeps
+    * 119+..3.9k pairs; only the inherently thin k≤4 tail narrows
+    * further), and the exact-Jaccard scoring of the sampled set
     * is the eval family's dominant cost; A/B in PLANS.md), carrying
     * the 16-hash agreement count k computed while both signature
     * rows are on hand. Memoized like [[sampledLshPairs]] and for the
@@ -1116,7 +1121,7 @@ object Text {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           est.cast("long").as("k"))
-        .filter(knuthSample(da = $"da", db = $"db", mod = 64))
+        .filter(knuthSample(da = $"da", db = $"db", mod = 128))
         .transform(Ckpt.mat)
     }
 
@@ -2277,7 +2282,7 @@ object Text {
     * (Σ|bucket|² — 2.6M pairs at sf0.1), so exact-scoring every pair
     * is precisely the cost the star reduction exists to avoid; a
     * precision eval never needs it. Exact Jaccard runs on a
-    * DETERMINISTIC 1/16 HASH SAMPLE of pairs (integer Knuth mix of
+    * DETERMINISTIC 1/32 HASH SAMPLE of pairs (integer Knuth mix of
     * the id pair — no RNG, identical sample on both engines,
     * unbiased because the mix is independent of similarity) while
     * the FULL candidate
@@ -2353,7 +2358,7 @@ object Text {
     * count, mean true Jaccard, and mean |true − k/16| — the error
     * curve that justifies running dedup decisions in signature space
     * at 100 TB (bodies cold). Exact truth comes from a deterministic
-    * 1/64 Knuth pair sample — q_lsh_precision's mechanism at a
+    * 1/128 Knuth pair sample — q_lsh_precision's mechanism at a
     * narrower rate (an eval never needs every pair, and per-k means
     * stay thousands of pairs deep); signatures come from graft_minhash20
     * (zero-shuffle projection). The error accounting is ALL-INTEGER:
@@ -2492,7 +2497,7 @@ object Text {
          |    CAST(($eqs) AS BIGINT) AS k
          |  FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id
          |  WHERE ((a.doc_id % 2147483647) * 2654435761
-         |    + (b.doc_id % 2147483647)) % 64 = 0),
+         |    + (b.doc_id % 2147483647)) % 128 = 0),
          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
          |inter AS (SELECT c.da, c.db, count(*) AS ic
          |  FROM samp c
@@ -2534,7 +2539,7 @@ object Text {
         |    SELECT a.doc_id AS da, b2.doc_id AS db
         |    FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
         |  WHERE ((da % 2147483647) * 2654435761
-        |    + (db % 2147483647)) % 16 = 0),
+        |    + (db % 2147483647)) % 32 = 0),
         |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
         |inter AS (SELECT c.da, c.db, count(*) AS ic
         |  FROM samp c
