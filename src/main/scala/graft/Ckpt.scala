@@ -42,14 +42,40 @@ object Ckpt {
   private def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.get(Flag, "false").toBoolean
 
+  /** TEST-ONLY plan probe: when set, every mat/matNow records the
+    * PRE-TRUNCATION executed plan of its input before checkpointing
+    * collapses it to an RDD scan. The partition-invariance sweep
+    * derives its rank-window candidate set from these recorded plans
+    * plus each query's own plan — closing the r13 blind spot where
+    * windows hidden behind memoized/checkpointed lineage (q_bm25's
+    * postings build, q_containment's pair memo, the per-round Lloyd
+    * state) planned as LogicalRDD and were invisible to the
+    * derivation. Pure observation: materialization behavior is
+    * IDENTICAL whether the probe is set or not (no bypass — the
+    * recorded plan is simply read off the DataFrame on the way in).
+    * Not thread-safe across concurrent queries — set it only from a
+    * single-threaded test loop. */
+  @volatile private[graft] var planProbe:
+      Option[scala.collection.mutable.Buffer[
+        org.apache.spark.sql.execution.SparkPlan]] = None
+
+  private def record(df: DataFrame): Unit =
+    planProbe.foreach { buf =>
+      buf.synchronized { buf += df.queryExecution.executedPlan }
+    }
+
   /** Lazy materialization barrier (materializes on first action). */
-  def mat(df: DataFrame): DataFrame =
+  def mat(df: DataFrame): DataFrame = {
+    record(df)
     if (reliable(df)) df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
+  }
 
   /** Eager materialization (runs a job now — the CDC tick sites,
     * where the input batch is only valid inside the tick). */
-  def matNow(df: DataFrame): DataFrame =
+  def matNow(df: DataFrame): DataFrame = {
+    record(df)
     if (reliable(df)) df.checkpoint()
     else df.localCheckpoint()
+  }
 }

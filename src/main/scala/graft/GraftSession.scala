@@ -31,6 +31,17 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Battery hook for the reliable-checkpoint policy (Ckpt.Flag):
+    // SPARK_GRAFT_RELIABLE_CKPT=true flips every Ckpt.mat/matNow site
+    // to fault-tolerant checkpoint() with a checkpoint dir, so the
+    // full oracle battery can run under the cluster-recovery path
+    // (results must be identical — CheckpointPolicySpec pins samples,
+    // the battery proves the whole surface).
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+      spark.conf.set(Ckpt.Flag, "true")
+      spark.sparkContext.setCheckpointDir(sys.env.getOrElse(
+        "SPARK_GRAFT_CKPT_DIR", s"${sys.props("java.io.tmpdir")}/graft-ckpt"))
+    }
     spark
   }
 }

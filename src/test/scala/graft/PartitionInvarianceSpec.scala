@@ -95,8 +95,13 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     "q_median_mode",     // deterministic-mode rank tie-break
     "q_min_cost_supplier", // per-part min-cost rank pick (Q2 shape)
     "q_rfm",             // ntile bucket cuts on metric ties
-    // plan-hidden rank windows (checkpoint / driver-loop lineage —
-    // the derivation's documented blind spot): hand-enrolled
+    // r14: these four were the r13 hand-enrolled blind spot; the
+    // derivation below now sees through checkpointed lineage (memo
+    // clears + the Ckpt.planProbe pre-truncation recorder), so any
+    // rank window they carry is DERIVED. They stay enrolled either
+    // way — enrollment is a superset of the derived set, and their
+    // driver-loop tie surfaces (per-round winner picks) warrant the
+    // sweep even where the pick is orderBy+limit, not a window.
     "q_kmeans",          // argmin assignment ties + centroid sums
     "q_bpe_train",       // per-round winner pick under freq ties
     "q_bpe_apply",       // tokenizes with the q_bpe_train winners
@@ -111,12 +116,19 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     // percent_rank / cume_dist — the functions whose output depends
     // on sort-tie resolution) or a WindowGroupLimitExec (a pushed
     // rank cut) must be enrolled in `risky` or adjudicated in
-    // `exempt` with its justification. Blind spot, by construction:
-    // queries whose windows live inside a memoized table's
-    // checkpointed lineage (q_bm25, q_curriculum, …) plan as
-    // LogicalRDD here — those stay hand-enrolled above, which the
-    // sweep cannot regress because removing them from `risky` does
-    // not remove them from this test's union either.
+    // `exempt` with its justification.
+    //
+    // r14 — the r13 blind spot is closed: the derivation now ALSO
+    // inspects every plan recorded by Ckpt.planProbe (the
+    // pre-truncation plan each materialization site receives) with
+    // the memo caches cleared per query, so windows hidden behind
+    // memoized/checkpointed lineage (q_bm25's postings build,
+    // q_containment's pair memo, per-round Lloyd state) are seen by
+    // the sweep instead of planning as LogicalRDD. What remains
+    // structurally invisible: a rank pick executed as
+    // orderBy+limit+take inside a driver loop (TakeOrderedAndProject,
+    // not a window — q_bpe_train's winner) — that class is not a
+    // WindowExec anywhere and is covered by direct enrollment.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -130,20 +142,39 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
       case _: RowNumber => (); case _: Rank => (); case _: DenseRank => ()
       case _: NTile => (); case _: PercentRank => (); case _: CumeDist => ()
     }.isDefined
+    def hasRankWindow(p: SparkPlan): Boolean = unwrap(p).collectFirst {
+      case w: WindowExec if w.windowExpression.exists(rankClass) => w
+      case g: WindowGroupLimitExec => g
+    }.isDefined
     val exempt: Set[String] = Set() // name -> enroll instead, or justify here
     val derived = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val exec = unwrap(SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan)
-      exec.collectFirst {
-        case w: WindowExec if w.windowExpression.exists(rankClass) => w
-        case g: WindowGroupLimitExec => g
-      }.isDefined
+      // clear per query so shared memoized tables re-plan THROUGH
+      // their Ckpt sites (a warm memo would hide its build plans —
+      // and attribute them to whichever query ran first)
+      graft.ops.Text.clearMemoCaches()
+      val recorded = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+      Ckpt.planProbe = Some(recorded)
+      try {
+        val own = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan
+        (own +: recorded.toSeq).exists(hasRankWindow)
+      } finally Ckpt.planProbe = None
     }.toSet
+    graft.ops.Text.clearMemoCaches() // leave no per-query residue
     withClue(s"rank-window queries not enrolled in the invariance sweep: " +
       s"${(derived -- risky.toSet -- exempt).toSeq.sorted}; " +
       s"stale exemptions: ${(exempt -- derived).toSeq.sorted}: ") {
       (derived -- risky.toSet -- exempt) shouldBe empty
       (exempt -- derived) shouldBe empty
+    }
+    // positive probe that the blind spot stays closed: these carried
+    // rank windows only inside memoized/checkpointed lineage in r13
+    // (hand-enrolled then); if the probe machinery regresses they
+    // silently fall out of `derived` and this catches it
+    Seq("q_containment", "q_bm25", "q_curriculum").foreach { n =>
+      withClue(s"$n must be DERIVED via recorded pre-truncation plans: ") {
+        derived should contain(n)
+      }
     }
   }
 
