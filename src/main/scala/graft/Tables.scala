@@ -8,7 +8,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * date-partitioned catalogs; locally they are single parquet files —
   * the point is that all access goes through one chokepoint so a real
   * catalog (partitioned layout, bucketing metadata) slots in here.
-  */
+  *
+  * KEY CONTRACT (r14 null-key sweep): each table's id column
+  * (doc_id, vec_id, the TPC-H *key columns) is a NON-NULL primary
+  * key. The engine's internal doc-grain equi-joins — the gate-funnel
+  * flag lattices, every memoized signature/score/token table, the
+  * postings index — rely on it: an equi-join never matches a null
+  * key, so a null id would silently drop its row from derived
+  * results rather than error. A catalog slotting in here must
+  * preserve that (enforce NOT NULL at ingest); helpers that accept
+  * ARBITRARY caller input instead define their own null behavior
+  * explicitly (connectedComponents ignores null-endpoint edges,
+  * mergePostings rejects null keys under spark.graft.debugChecks —
+  * both pinned in NullKeySpec). */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

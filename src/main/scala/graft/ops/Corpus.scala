@@ -257,6 +257,19 @@ object Corpus {
         "mergePostings: standing and arriving doc sets overlap — " +
           "tf/df/dl would double-count; drop the standing rows for " +
           "arriving doc_ids (upsert) before merging")
+      // null keys are the silent-drop class: a null term never matches
+      // the idf equi-join, a null doc_id never matches the norm join —
+      // the posting row would vanish from the merged index instead of
+      // erroring. tfRows can't produce them (split tokens are non-null,
+      // doc_id is the documents PK) — reject rather than drop if a
+      // direct caller hands them in.
+      val nullKeys = corpusTf.unionByName(batchTf)
+        .filter(col("doc_id").isNull || col("term").isNull)
+        .limit(1).count()
+      require(nullKeys == 0L,
+        "mergePostings: null doc_id/term in the tf rows — such rows " +
+          "silently drop from the idf/norm equi-joins; clean them " +
+          "upstream (the tfRows path never produces them)")
     }
     val dfC = corpusTf.groupBy(col("term")).agg(count(lit(1)).as("df_c"))
     val dfB = batchTf.groupBy(col("term")).agg(count(lit(1)).as("df_b"))

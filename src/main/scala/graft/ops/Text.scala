@@ -2035,7 +2035,15 @@ object Text {
     // the old form either ran the banded self-join twice or paid an
     // extra cache-materialization job to avoid it (r9: dropping that
     // job cut the fixpoint's init by ~1 s at sf0.1)
+    // Null-endpoint contract (r14 null-key sweep): a null id carries
+    // no identity, so an edge with a null endpoint is IGNORED — the
+    // defined behavior, pinned in NullKeySpec, rather than the
+    // accidental one (null dst would have formed a phantom node group
+    // while null src never joined back, leaving a half-propagated
+    // label). Production callers (simhashPairs) are structurally
+    // non-null; the filter is a free map-side predicate.
     val edges = pairs
+      .filter($"da".isNotNull && $"db".isNotNull)
       .select(explode(array(
         struct($"da".as("src"), $"db".as("dst")),
         struct($"db".as("src"), $"da".as("dst")))).as("e"))
