@@ -55,6 +55,15 @@ object Bench {
           else if (cur < 0 || cur == Double.MaxValue) t else math.min(cur, t)
       }
     }
+    // THREE full interleaved passes (r14, was two): the host's stall
+    // windows run multiple minutes, so with two samples a query has a
+    // real chance of landing inside stalls BOTH times — the r13
+    // driver run inflated untouched trivial queries 2-2.9× exactly
+    // this way while the builder's same-code runs stayed flat. A
+    // third pass bounds that: min-of-3 needs a query to hit stalls
+    // in all three decorrelated positions to stay inflated. Wall cost
+    // ≈ one suite pass; the reported total can only go down.
+    runPass(names.map(_._1))
     runPass(names.map(_._1))
     runPass(names.map(_._1))
     (1 to 2).foreach { _ =>
