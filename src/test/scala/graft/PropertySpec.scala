@@ -249,6 +249,30 @@ object CCPropertySpec extends Properties("graft.cc") {
         .as[(Long, Long)].collect().toMap
       got == unionFind(edges)
     }
+
+  // null-endpoint injection (r14 NullKeySpec's randomized cousin):
+  // interleaving null-endpoint edges anywhere in the pair set must
+  // leave the fixpoint EXACTLY the clean graph's — the null edges are
+  // ignored, never half-propagated into a phantom node or label
+  private val nullEdgeGen: Gen[List[(Option[Long], Option[Long])]] = for {
+    n <- Gen.choose(1, 6)
+    mk <- Gen.listOfN(n, Gen.zip(
+      Gen.option(Gen.choose(500L, 520L)), Gen.option(Gen.choose(500L, 520L))))
+  } yield mk.map { case (a, b) => if (a.isDefined && b.isDefined) (None, b) else (a, b) }
+
+  property("null-endpoint edges never change the fixpoint") =
+    forAll(graphGen, nullEdgeGen) { (edges, nullEdges) =>
+      val spark = SparkSuite.session
+      import spark.implicits._
+      val clean = edges.map { case (a, b) => (Option(a), Option(b)) }
+      // deterministic interleave (edge order is immaterial to CC;
+      // a seeded shuffle would only blur failure reproduction)
+      val mixed = (clean ++ nullEdges).zipWithIndex
+        .sortBy { case (_, i) => (i * 7919) % 104729 }.map(_._1)
+      val got = Text.connectedComponents(spark, mixed.toDF("da", "db"))
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
+    }
 }
 
 /** The ingest-vet verdict lattice vs a plain-Scala reference:
