@@ -171,7 +171,7 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
     // rank windows only inside memoized/checkpointed lineage in r13
     // (hand-enrolled then); if the probe machinery regresses they
     // silently fall out of `derived` and this catches it
-    Seq("q_containment", "q_bm25", "q_curriculum").foreach { n =>
+    Seq("q_containment", "q_bm25", "q_curriculum", "q_kmeans").foreach { n =>
       withClue(s"$n must be DERIVED via recorded pre-truncation plans: ") {
         derived should contain(n)
       }
