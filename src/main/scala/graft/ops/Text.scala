@@ -1079,7 +1079,8 @@ object Text {
     * sample (r14: was 1/16 — the eval is one row of precision
     * fractions over ~86k sampled pairs at sf0.1, stderr ~0.002, and
     * the shared exact-scoring pass was dominated by this sample;
-    * measured values move only in the 3rd decimal). Memoized per (session, dir): the pair set feeds both the
+    * measured values move only in the 3rd decimal).
+    * Memoized per (session, dir): the pair set feeds both the
     * precision eval itself and the shared exact-Jaccard score table
     * ([[sampledPairScores]]), so the quadratic band join runs once
     * per session/input. */
