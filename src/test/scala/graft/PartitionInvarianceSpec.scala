@@ -146,7 +146,17 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
       case w: WindowExec if w.windowExpression.exists(rankClass) => w
       case g: WindowGroupLimitExec => g
     }.isDefined
+    // r14 second class: a TakeOrderedAndProject (orderBy+limit top-k
+    // heap cut) is ALSO a rank cut — rows tied at the limit boundary
+    // under a NON-total ordering survive or drop by partition merge
+    // order, the same hazard as a rank window — so its bearers must
+    // be enrolled or adjudicated as totally ordered.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    def hasTopKCut(p: SparkPlan): Boolean = unwrap(p).collectFirst {
+      case t: TakeOrderedAndProjectExec => t
+    }.isDefined
     val exempt: Set[String] = Set() // name -> enroll instead, or justify here
+    var derivedTopK = Set.empty[String]
     val derived = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       // clear per query so shared memoized tables re-plan THROUGH
       // their Ckpt sites (a warm memo would hide its build plans —
@@ -157,10 +167,34 @@ class PartitionInvarianceSpec extends SparkSuite with Matchers {
       try {
         val own = SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan
-        (own +: recorded.toSeq).exists(hasRankWindow)
+        val all = own +: recorded.toSeq
+        if (all.exists(hasTopKCut)) derivedTopK += name
+        all.exists(hasRankWindow)
       } finally Ckpt.planProbe = None
     }.toSet
     graft.ops.Text.clearMemoCaches() // leave no per-query residue
+    // every top-k-cut bearer is enrolled or adjudicated totally
+    // ordered (the ordering key set contains a unique key for the
+    // output grain, so no tie can straddle the cut); adjudications
+    // verified against the code r14:
+    val topKTotallyOrdered: Set[String] = Set(
+      "q_topk",           // + o_orderkey (orders PK)
+      "q_scan_order",     // + (l_orderkey, l_linenumber) (lineitem PK)
+      "q_token_freq",     // + token (the group key)
+      "q_bigram_freq",    // + bigram (the group key)
+      "q_pmi",            // + (ta, tb) (the group key)
+      "q_late_suppliers", // + s_name (unique in supplier — asserted
+                          //   by the data probe r14; TPC-H generates
+                          //   names 1:1 with s_suppkey)
+      "q_returned_items", // + c_custkey (the group key)
+      "q_ship_priority",  // + l_orderkey (the Q3 group key)
+      "q_bpe_merges")     // + pair (the group key)
+    withClue(s"top-k-cut queries neither enrolled nor adjudicated: " +
+      s"${(derivedTopK -- risky.toSet -- topKTotallyOrdered).toSeq.sorted}; " +
+      s"stale adjudications: ${(topKTotallyOrdered -- derivedTopK).toSeq.sorted}: ") {
+      (derivedTopK -- risky.toSet -- topKTotallyOrdered) shouldBe empty
+      (topKTotallyOrdered -- derivedTopK) shouldBe empty
+    }
     withClue(s"rank-window queries not enrolled in the invariance sweep: " +
       s"${(derived -- risky.toSet -- exempt).toSeq.sorted}; " +
       s"stale exemptions: ${(exempt -- derived).toSeq.sorted}: ") {
