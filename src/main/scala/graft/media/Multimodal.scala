@@ -135,4 +135,45 @@ object Multimodal {
     ds.toDF().select($"mediaId",
       filter($"packets", (_, i) => i % every === 0).as("sampled"))
   }
+
+  /** STUB resize kernel (stands in for the ffmpeg scale filter a
+    * vision pipeline runs before feature extraction): deterministic
+    * byte decimation at the area ratio — the real contract a resize
+    * carries (payload shrinks ~with pixel count) without a codec.
+    * A real deployment swaps only this function. */
+  def resizeStub(bytes: Array[Byte], areaRatio: Double): Array[Byte] = {
+    val stride = math.max(1, math.round(1.0 / math.max(areaRatio, 1e-9)).toInt)
+    bytes.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+  }
+
+  /** Resize-to-fit a bounding box preserving aspect ratio — the
+    * normalization step a vision-training pipeline applies before
+    * feature extraction (SURVEY §2.10 X3's fourth verb beside
+    * decode / feature-extract / frame-sample). Pure per-record
+    * kernel under mapPartitions like the other kernels; NEVER
+    * upscales (scale capped at 1.0); audio-only records pass through
+    * untouched; the metadata struct is updated to the new geometry
+    * in the same pass, so downstream metadata-only queries keep
+    * pruning the binary column. */
+  def resizeToFit(ds: Dataset[MediaRecord], maxW: Int, maxH: Int)
+      : Dataset[MediaRecord] = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { r =>
+      if (r.meta.audioOnly || r.meta.width <= 0 || r.meta.height <= 0) r
+      else {
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / r.meta.width, maxH.toDouble / r.meta.height))
+        if (scale >= 1.0) r
+        else {
+          val (w, h) = (math.max(1, (r.meta.width * scale).toInt),
+            math.max(1, (r.meta.height * scale).toInt))
+          val ratio = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
+          r.copy(media = resizeStub(r.media, ratio),
+            meta = r.meta.copy(width = w, height = h))
+        }
+      }
+    })
+  }
 }

@@ -57,4 +57,42 @@ class MultimodalSpec extends SparkSuite with Matchers {
     val m1 = s.filter(col("mediaId") === "m1").collect().head
     m1.getAs[scala.collection.Seq[Any]]("sampled") should have size 2
   }
+
+  test("resize-to-fit: aspect preserved, never upscaled, audio untouched") {
+    val ds = Multimodal.probe(mediaDf)
+    val before = ds.collect().map(r => r.mediaId -> r).toMap
+    val after = Multimodal.resizeToFit(ds, maxW = 640, maxH = 640)
+      .collect().map(r => r.mediaId -> r).toMap
+
+    // m1: 32 bytes → video 1280x720; box 640 → scale 0.5 → 640x360
+    val (b1, a1) = (before("m1"), after("m1"))
+    b1.meta.audioOnly shouldBe false
+    (b1.meta.width, b1.meta.height) shouldBe (1280, 720)
+    (a1.meta.width, a1.meta.height) shouldBe (640, 360)
+    // aspect ratio preserved to integer floor
+    a1.meta.width.toDouble / a1.meta.height shouldBe
+      (b1.meta.width.toDouble / b1.meta.height) +- 0.01
+    // payload shrinks ~with area (ratio 0.25 → stride 4)
+    a1.media.length shouldBe (b1.media.length + 3) / 4
+    // geometry-independent fields carried through
+    a1.meta.durationS shouldBe b1.meta.durationS
+    a1.meta.codec shouldBe b1.meta.codec
+    a1.packets shouldBe b1.packets
+
+    // audio-only record passes through byte-identical
+    val (b3, a3) = (before("m3"), after("m3"))
+    b3.meta.audioOnly shouldBe true
+    a3.media shouldBe b3.media
+    a3.meta shouldBe b3.meta
+
+    // a box larger than the media never upscales
+    val same = Multimodal.resizeToFit(ds, maxW = 4096, maxH = 4096)
+      .collect().map(r => r.mediaId -> r).toMap
+    same("m1").meta shouldBe b1.meta
+    same("m1").media shouldBe b1.media
+
+    // deterministic: same input, same output
+    Multimodal.resizeToFit(ds, 640, 640).collect().map(_.media.length).sorted shouldBe
+      after.values.map(_.media.length).toArray.sorted
+  }
 }
