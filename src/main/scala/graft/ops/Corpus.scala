@@ -130,6 +130,52 @@ object Corpus {
   private def meanOfE12(sumE12: Column, n: Column): Column =
     round(sumE12.cast("double") / n / lit(1.0e12), 6) + lit(0.0)
 
+  /** The corpus TERM-FREQUENCY table — (doc_id, source, tok, tf) at
+    * per-document distinct-term grain — the ONE shared build for
+    * every order-insensitive token statistic in this module
+    * (q_tfidf, q_unigram_lm, q_heavy_hitters, q_moore_lewis,
+    * q_token_entropy, q_vocab_coverage, q_zipf_slope,
+    * q_kl_divergence, q_ppl_bucket, q_batch_drift, q_src_overlap,
+    * and the BM25 postings build). Before r15 each of those queries
+    * re-ran the documents scan + tokenize + explode + first hash-agg
+    * independently; tf-grain is sufficient for all of them because
+    * none is order-sensitive: occurrence counts are sums of tf,
+    * per-doc token totals are sum(tf), distinct vocabularies are the
+    * rows themselves, and exact e12 integer-term sums commute with
+    * multiplicity ([[sumE12W]]). Positional consumers (bigrams,
+    * packing, chunking) keep their own builds — adjacency does not
+    * survive the count agg.
+    *
+    * Scale shape: one documents scan + explode + (doc_id, tok)
+    * hash-agg — map-side combine shrinks the shuffle to per-doc
+    * distinct terms (the same cardinality Text.docTokens already
+    * ships), then Ckpt.mat materializes it once per (session, dir)
+    * as the "term-frequency table is a persisted intermediate" a
+    * production corpus pipeline keeps next to its postings index.
+    * Deterministic (pure string ops + counts), so memo reuse can
+    * never change a result; Bench/Profile clear per pass. */
+  private val termFreqCache = Text.newMemoCache()
+
+  private[graft] def docTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Text.memoized(termFreqCache, spark, dir) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+        .groupBy($"doc_id", $"source", $"tok")
+        .agg(count(lit(1)).as("tf"))
+        .transform(Ckpt.mat)
+    }
+
+  /** [[sumE12]] over tf-grain rows: sum(tf · e12(term)) — EXACTLY the
+    * exploded-grain sumE12, because e12(term) is an exact
+    * decimal(38,0) integer and an integer multiple equals tf added
+    * copies (the float term is quantized BEFORE the multiply, so no
+    * new float operation enters). Queries rewritten over
+    * [[docTermFreq]] therefore emit bit-identical sums to their
+    * pre-r15 exploded forms. */
+  private def sumE12W(term: Column, tf: Column): Column =
+    sum(tf.cast("decimal(38,0)") * e12(term))
+
   /** L4+ — TF-IDF: tf(doc, term) × ln(N / df(term)), terms with
     * tf ≥ 2. ln of the same double ratio on both engines, rounded at
     * 6; ORDER BY is (doc_id, term) — never the float score — so a
@@ -142,9 +188,10 @@ object Corpus {
     // build side is a groupless aggregate (≤1 row by construction);
     // OpsSpec's plan sweep admits exactly that shape.
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.select($"doc_id", explode(toks($"text")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
+    // (doc_id, term, tf) off the shared memoized term-frequency table
+    // (r15) — identical rows to the explode + hash-agg it replaces
+    val tf = docTermFreq(spark, dir)
+      .select($"doc_id", $"tok".as("term"), $"tf")
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf.filter($"tf" >= 2)
       .join(df, "term")
@@ -161,8 +208,8 @@ object Corpus {
     * because three queries consume it (q_bm25's lexical ranking,
     * q_rrf_fusion's lexical leg, q_ndcg's graded eval). idf = ln(1 + (N−df+0.5)/(df+0.5))
     * — nonnegative by construction, so low-df terms dominate exactly
-    * as a retrieval stack expects. Plan: the tf table builds once
-    * (explode + hash-agg) and is lazily checkpointed — its THREE
+    * as a retrieval stack expects. Plan: the tf table is the shared
+    * memoized [[docTermFreq]] — its THREE
     * consumers (query-term slice, corpus side, doc-length agg) and
     * the df agg read the materialized blocks instead of re-running
     * the scan+explode (the docTokens precedent); corpus stats attach
@@ -192,11 +239,11 @@ object Corpus {
   private[graft] def bm25Postings(spark: SparkSession, dir: String): DataFrame =
     Text.memoized(bm25PostCache, spark, dir) {
       import spark.implicits._
-      val tf = Tables.documents(spark, dir)
-        .select($"doc_id", explode(toks($"text")).as("term"))
-        .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"))
-        .transform(Ckpt.mat)
+      // the shared memoized term-frequency table (r15) replaces the
+      // build's own Ckpt.mat'd explode + hash-agg — same rows, one
+      // materialization shared with the whole corpus-stats family
+      val tf = docTermFreq(spark, dir)
+        .select($"doc_id", $"tok".as("term"), $"tf")
       val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_len"))
       val idfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -317,11 +364,15 @@ object Corpus {
     * shape). */
   def qBm25Upsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val corpusTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) =!= 9))
-      .transform(Ckpt.mat) // df agg + dl agg + union read once
-    val batchTf = tfRows(docs.filter(pmod($"doc_id", lit(10L)) === 9))
-      .transform(Ckpt.mat)
+    // both legs slice the shared memoized [[docTermFreq]] (r15):
+    // the doc_id filter commutes with the tf agg (doc_id is a group
+    // key), so each slice equals tfRows over the filtered documents
+    // — and the memo is already materialized, so the df agg + dl agg
+    // + union read one checkpoint instead of two
+    val tf = docTermFreq(spark, dir)
+      .select($"doc_id", $"tok".as("term"), $"tf")
+    val corpusTf = tf.filter(pmod($"doc_id", lit(10L)) =!= 9)
+    val batchTf = tf.filter(pmod($"doc_id", lit(10L)) === 9)
     mergePostings(corpusTf, batchTf)
       .select($"doc_id", $"term", $"tf",
         round($"idf" * lit(1.0e6)).cast("long").as("idf_u6"),
@@ -493,16 +544,19 @@ object Corpus {
     * ORDER BY integer doc_id only. */
   def qUnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", explode(toks($"text")).as("tok"))
-    val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // tf-grain rewrite over the shared memoized [[docTermFreq]]
+    // (r15): occurrence counts = sum(tf), per-doc totals = sum(tf),
+    // and the exact pico-nat sum commutes with multiplicity
+    // ([[sumE12W]]) — bit-identical to the exploded form
+    val t = docTermFreq(spark, dir)
+    val vocab = t.groupBy($"tok").agg(sum($"tf").as("cnt"))
     val total = vocab.agg(sum($"cnt").as("total"))
     t.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sumE12($"logp").as("s_e12"))
+      .agg(sum($"tf").as("n_toks"),
+        sumE12W($"logp", $"tf").as("s_e12"))
       .select($"doc_id", $"n_toks",
         meanOfE12($"s_e12", $"n_toks").as("avg_logp"))
       .orderBy($"doc_id".asc_nulls_first)
@@ -515,11 +569,14 @@ object Corpus {
     * SketchSpec's CMS test. */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tokens = Tables.documents(spark, dir)
-      .select(explode(toks($"text")).as("token"))
+    // token counts off the shared memoized [[docTermFreq]] (r15):
+    // occurrence counts are sums of tf
+    val counts = docTermFreq(spark, dir)
+      .groupBy($"tok").agg(sum($"tf").as("cnt"))
+      .select($"tok".as("token"), $"cnt")
     // scalar-broadcast pattern (1-row aggregate build side); see qTfidf
-    val total = tokens.agg(count(lit(1)).as("total"))
-    tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    counts
       .crossJoin(broadcast(total))
       .filter($"cnt" * 1000 > $"total")
       .select($"token", $"cnt")
@@ -985,8 +1042,9 @@ object Corpus {
     * per-domain ingest monitor would run it. All integers. */
   def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val perDoc = Tables.documents(spark, dir)
-      .select($"source", $"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    // the shared memoized [[docTermFreq]] (r15) IS the per-doc
+    // distinct (source, doc_id, tok) table this first agg consumed
+    val perDoc = docTermFreq(spark, dir)
       .groupBy($"source", $"tok").agg(min($"doc_id").as("first_doc"))
       .groupBy($"source", $"first_doc").agg(count(lit(1)).as("new_toks"))
     // two-phase running sum (r12): the curve table is doc grain (one
@@ -1049,12 +1107,13 @@ object Corpus {
     * only. */
   def qMooreLewis(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val t = docs.select($"doc_id", explode(toks($"text")).as("tok"))
-    val gen = t.groupBy($"tok").agg(count(lit(1)).as("cg"))
-    val ind = docs.filter($"source" === "src0")
-      .select(explode(toks($"text")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("ci"))
+    // tf-grain rewrite over the shared memoized [[docTermFreq]]
+    // (r15) — see qUnigramLm; the in-domain slice filters the memo's
+    // source column instead of re-scanning documents
+    val t = docTermFreq(spark, dir)
+    val gen = t.groupBy($"tok").agg(sum($"tf").as("cg"))
+    val ind = t.filter($"source" === "src0")
+      .groupBy($"tok").agg(sum($"tf").as("ci"))
     val scalars = gen.agg(sum($"cg").as("tg"), count(lit(1)).as("v"))
       .crossJoin(ind.agg(coalesce(sum($"ci"), lit(0L)).as("ti")))
     t.join(gen, "tok")
@@ -1065,7 +1124,7 @@ object Corpus {
           ($"ti" + $"v")) -
         log(($"cg" + lit(1L)).cast("double") / ($"tg" + $"v")))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), sumE12($"llr").as("s_e12"))
+      .agg(sum($"tf").as("n_toks"), sumE12W($"llr", $"tf").as("s_e12"))
       .select($"doc_id", $"n_toks",
         meanOfE12($"s_e12", $"n_toks").as("ml_score"))
       .orderBy($"doc_id".asc_nulls_first)
@@ -1081,12 +1140,12 @@ object Corpus {
     * integer doc_id. */
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(toks($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    // the shared memoized [[docTermFreq]] IS this query's first-level
+    // (doc, tok) count agg (r15) — the whole build stage disappears
+    docTermFreq(spark, dir)
       .groupBy($"doc_id")
-      .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
-        sumE12($"c".cast("double") * log($"c")).as("s_e12"))
+      .agg(sum($"tf").as("n_toks"), count(lit(1)).as("n_types"),
+        sumE12($"tf".cast("double") * log($"tf")).as("s_e12"))
       .select($"doc_id", $"n_toks", $"n_types",
         // + 0.0: a single-type doc's entropy is ln(n) − quantized
         // mean, which can land a hair BELOW zero when the e12
@@ -1165,9 +1224,9 @@ object Corpus {
     * broadcast (whitelist class). */
   def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .select(explode(toks($"text")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    // vocabulary counts off the shared memoized [[docTermFreq]] (r15)
+    val tf = docTermFreq(spark, dir)
+      .groupBy($"tok").agg(sum($"tf").as("c"))
     val tot = tf.agg(sum($"c").as("total"))
     val top = tf.orderBy($"c".desc, $"tok".asc).limit(16384)
     // deliberately unpartitioned: the input is the ≤16 384-row heap
@@ -1193,9 +1252,11 @@ object Corpus {
 
   def qZipfSlope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .select($"source", explode(toks($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    // (source, tok) counts off the shared memoized [[docTermFreq]]
+    // (r15): each doc carries one source, so summing tf over docs is
+    // the per-source occurrence count
+    val tf = docTermFreq(spark, dir)
+      .groupBy($"source", $"tok").agg(sum($"tf").as("c"))
     val w = Window.partitionBy($"source")
       .orderBy($"c".desc, $"tok".asc)
     tf.withColumn("rnk", row_number().over(w))
@@ -1219,11 +1280,11 @@ object Corpus {
     * All shuffles carry (token, count) pairs — never bodies. */
   def qKlDivergence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
-      .select($"source", explode(toks($"text")).as("tok"))
-    val st = t.groupBy($"source", $"tok").agg(count(lit(1)).as("cs"))
+    // both count tables off the shared memoized [[docTermFreq]] (r15)
+    val t = docTermFreq(spark, dir)
+    val st = t.groupBy($"source", $"tok").agg(sum($"tf").as("cs"))
     val stot = st.groupBy($"source").agg(sum($"cs").as("ns"))
-    val c = t.groupBy($"tok").agg(count(lit(1)).as("cc"))
+    val c = t.groupBy($"tok").agg(sum($"tf").as("cc"))
     val tot = c.agg(sum($"cc").as("n"))
     st.join(c, "tok")
       .join(stot, "source")
@@ -1270,16 +1331,17 @@ object Corpus {
     * as a float at all. */
   def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
-    val vocab = t.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // tf-grain rewrite over the shared memoized [[docTermFreq]]
+    // (r15) — see qUnigramLm (this query reuses its exact score)
+    val t = docTermFreq(spark, dir)
+    val vocab = t.groupBy($"tok").agg(sum($"tf").as("cnt"))
     val total = vocab.agg(sum($"cnt").as("total"))
     val scored = t.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("logp", log($"cnt".cast("double") / $"total"))
       .groupBy($"doc_id", $"source")
-      .agg(count(lit(1)).as("n_toks"),
-        sumE12($"logp").as("s_e12"))
+      .agg(sum($"tf").as("n_toks"),
+        sumE12W($"logp", $"tf").as("s_e12"))
       .select($"doc_id", $"source",
         round($"s_e12".cast("double") / $"n_toks" / lit(1000000.0d))
           .cast("long").as("score_e6"))
@@ -1310,8 +1372,11 @@ object Corpus {
     * division only at the final rounded projection. */
   def qSrcOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.documents(spark, dir)
-      .select($"source", explode(array_distinct(toks($"text"))).as("tok"))
+    // distinct (source, tok) pairs off the shared memoized
+    // [[docTermFreq]] (r15) — the memo's rows are per-doc distinct
+    // already, so this distinct only collapses across docs
+    val v = docTermFreq(spark, dir)
+      .select($"source", $"tok")
       .distinct()
     val sizes = v.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = v.alias("a")
@@ -1430,13 +1495,14 @@ object Corpus {
     * 6 (q_kl_divergence's accepted surface). */
   def qBatchDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
-      .select($"source", (pmod($"doc_id", lit(7L)) === 3).as("is_batch"),
-        explode(toks($"text")).as("tok"))
+    // tf-grain rewrite over the shared memoized [[docTermFreq]]
+    // (r15): the batch/standing split derives from the memo's doc_id
+    val t = docTermFreq(spark, dir)
+      .withColumn("is_batch", pmod($"doc_id", lit(7L)) === 3)
     val bt = t.filter($"is_batch")
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("cbn"))
+      .groupBy($"source", $"tok").agg(sum($"tf").as("cbn"))
     val st = t.filter(!$"is_batch")
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("csn"))
+      .groupBy($"source", $"tok").agg(sum($"tf").as("csn"))
     val u = bt.join(st, Seq("source", "tok"), "full_outer")
       .select($"source", $"tok",
         coalesce($"cbn", lit(0L)).as("cbn"),

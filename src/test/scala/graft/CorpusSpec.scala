@@ -130,7 +130,9 @@ class CorpusSpec extends SparkSuite with Matchers {
     val fillers = (1 to 997).map(i => s"t$i")
     val text = (fillers ++ Seq("hot", "hot", "edge")).mkString(" ")
     val dir = tmpTables("hh") { d =>
-      Seq((1L, text)).toDF("doc_id", "text")
+      // source column: part of the documents schema contract (the
+      // shared docTermFreq table carries it since r15)
+      Seq((1L, "s0", text)).toDF("doc_id", "source", "text")
         .write.parquet(s"$d/documents.parquet")
     }
     Corpus.qHeavyHitters(spark, dir)
@@ -266,9 +268,12 @@ class CorpusSpec extends SparkSuite with Matchers {
   test("tf-idf: corpus-wide terms weigh zero, rare terms ln(N/df)") {
     import spark.implicits._
     val dir = tmpTables("tfidf") { d =>
-      Seq((1L, "common common rare rare"),
-        (2L, "common common"), (3L, "common common"))
-        .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+      // source column: part of the documents schema contract (the
+      // shared docTermFreq table carries it since r15)
+      Seq((1L, "s0", "common common rare rare"),
+        (2L, "s0", "common common"), (3L, "s0", "common common"))
+        .toDF("doc_id", "source", "text")
+        .write.parquet(s"$d/documents.parquet")
     }
     val rows = Corpus.qTfidf(spark, dir)
       .as[(Long, String, Long, Double)].collect()
