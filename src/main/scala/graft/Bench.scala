@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * Timing discipline: the first action in a fresh JVM pays ~30-40 s of
   * classloading + whole-stage-codegen compiler warmup that has nothing
   * to do with any query, so we (a) run one untimed warmup action, and
-  * (b) report min-of-2 per query — steady-state throughput, which is
-  * what a long-lived 1000-executor cluster actually sees.
+  * (b) report min-of-3 per query across three full interleaved passes
+  * (see below) — steady-state throughput, which is what a long-lived
+  * 1000-executor cluster actually sees.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -17,6 +17,16 @@ object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // reliable checkpoint() files are NOT reclaimed by default
+      // (cleanCheckpoints=false), so a full 203-query battery under
+      // SPARK_GRAFT_RELIABLE_CKPT would accumulate unbounded
+      // checkpoint data across runs; let the ContextCleaner delete a
+      // checkpoint once its RDD is GC'd — the memoized tables this
+      // engine materializes are re-derivable per session, never a
+      // durable artifact (r14 ADVICE). Static conf: must be set at
+      // SparkContext creation (ContextCleaner reads it once), hence
+      // here rather than inside the RELIABLE_CKPT branch below.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       // managed-table warehouse outside the repo (bucketed-table tests)

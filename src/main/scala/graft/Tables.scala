@@ -20,10 +20,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ARBITRARY caller input instead define their own null behavior
   * explicitly (connectedComponents ignores null-endpoint edges,
   * mergePostings rejects null keys under spark.graft.debugChecks —
-  * both pinned in NullKeySpec). */
+  * both pinned in NullKeySpec).
+  *
+  * Under `spark.graft.debugChecks=true` the contract is ENFORCED at
+  * this chokepoint (r14 verdict): each load probes its table's id
+  * columns for nulls (one bounded extra job — debug only) and fails
+  * loudly instead of letting a violating catalog silently drop rows
+  * from every downstream equi-join. Off by default: zero extra jobs
+  * in production, where the catalog's ingest owns the NOT-NULL
+  * guarantee. */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Same flag as Corpus.DebugChecksFlag (aliased there): one knob
+    * arms every debug-grade contract probe in the engine. */
+  private[graft] val DebugChecksFlag = "spark.graft.debugChecks"
+
+  /** The id columns the key contract covers, per table. lineitem's
+    * join keys are its order/part/supp foreign keys (it has no
+    * single-column PK); events is fact-grain with no id the engine
+    * joins on. Probes skip columns absent from a crafted fixture —
+    * the contract binds the columns a table actually ships. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.conf.get(DebugChecksFlag, "false").toBoolean) {
+      import org.apache.spark.sql.functions.col
+      val ks = keyCols.getOrElse(name, Nil).filter(df.columns.contains)
+      if (ks.nonEmpty) {
+        val nulls = df
+          .filter(ks.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count()
+        require(nulls == 0L,
+          s"Tables.$name: null id in key column(s) ${ks.mkString(", ")} — " +
+            "the engine's doc-grain equi-joins would silently drop such " +
+            "rows from derived results; enforce NOT NULL at ingest " +
+            "(Tables key contract)")
+      }
+    }
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

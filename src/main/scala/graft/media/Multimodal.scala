@@ -167,8 +167,16 @@ object Multimodal {
           math.min(maxW.toDouble / r.meta.width, maxH.toDouble / r.meta.height))
         if (scale >= 1.0) r
         else {
-          val (w, h) = (math.max(1, (r.meta.width * scale).toInt),
-            math.max(1, (r.meta.height * scale).toInt))
+          // round, not truncate: the constraining dimension's
+          // width*scale evaluates to the box edge ± 1 ulp, and toInt
+          // would land maxW-1 on the low side (r14 ADVICE). round
+          // restores the exact edge; the non-constraining dimension
+          // satisfies d*scale <= box by scale's definition, so
+          // rounding stays inside the box (min() guards the ulp-high
+          // corner anyway).
+          val (w, h) = (
+            math.max(1, math.min(maxW, math.round(r.meta.width * scale).toInt)),
+            math.max(1, math.min(maxH, math.round(r.meta.height * scale).toInt)))
           val ratio = (w.toLong * h).toDouble / (r.meta.width.toLong * r.meta.height)
           r.copy(media = resizeStub(r.media, ratio),
             meta = r.meta.copy(width = w, height = h))

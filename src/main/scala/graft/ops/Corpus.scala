@@ -292,7 +292,7 @@ object Corpus {
     * semi-join probe (one bounded extra job — debug only; an update
     * path should drop standing rows for arriving doc_ids first,
     * turning the upsert into this disjoint merge). */
-  private[graft] val DebugChecksFlag = "spark.graft.debugChecks"
+  private[graft] val DebugChecksFlag = Tables.DebugChecksFlag
 
   private[graft] def mergePostings(corpusTf: DataFrame,
                                    batchTf: DataFrame): DataFrame = {

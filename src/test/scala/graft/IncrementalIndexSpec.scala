@@ -175,13 +175,15 @@ class IncrementalIndexSpec extends SparkSuite with Matchers {
           "sets overlap — tf/df/dl would double-count; drop the standing " +
           "rows for arriving doc_ids (upsert) before merging"
       // disjoint sets pass with the probe on, and the probe changes
-      // nothing about the merged output
-      graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet shouldBe {
-        spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
-        val base = graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet
-        spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "true")
-        base
-      }
+      // nothing about the merged output — both sides collected into
+      // named vals with the flag set explicitly before each, so the
+      // comparison never depends on argument evaluation order (r14
+      // ADVICE)
+      val probed = graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet
+      spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
+      val base = graft.ops.Corpus.mergePostings(a, disjoint).collect().toSet
+      spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "true")
+      probed shouldBe base
     } finally spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
   }
 

@@ -15,6 +15,9 @@ import org.scalatest.matchers.should.Matchers
   *    (a null id carries no identity) — not half-propagated.
   *  - mergePostings: null doc_id/term REJECTED under debugChecks
   *    (they would otherwise vanish from the idf/norm equi-joins).
+  *  - Tables.load: a null id in a table's key column(s) REJECTED
+  *    under debugChecks (r15) — the chokepoint enforcement of the
+  *    Tables.scala key contract every internal equi-join relies on.
   *  - bandProject: a null text yields null digest/band — the row
   *    survives the projection (grouping semantics downstream match
   *    SQL GROUP BY, which keeps a null group on both engines).
@@ -71,6 +74,34 @@ class NullKeySpec extends SparkSuite with Matchers {
       graft.ops.Corpus.mergePostings(ok, Seq((9L, "delta", 1L))
         .toDF("doc_id", "term", "tf")).count() should be > 0L
     } finally spark.conf.set(graft.ops.Corpus.DebugChecksFlag, "false")
+  }
+
+  test("Tables.load rejects a null-id catalog under debugChecks") {
+    import spark.implicits._
+    // a catalog violating the NOT-NULL key contract (Tables.scala):
+    // doc 2's id is null — every doc-grain equi-join would silently
+    // drop it from derived results rather than error
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullid").toString
+    Seq((Some(1L), "s0", "alpha beta"), (None: Option[Long], "s0", "gamma"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // default: documented contract, zero probe jobs — the doc-grain
+    // query runs, and the null-id row is in the silent-drop class
+    graft.ops.Text.qExactDedup(spark, dir).count() should be >= 0L
+
+    spark.conf.set(Tables.DebugChecksFlag, "true")
+    try {
+      val ex = the[IllegalArgumentException] thrownBy
+        graft.ops.Text.qExactDedup(spark, dir).count()
+      ex.getMessage should include("Tables.documents: null id")
+      // a clean catalog passes with the probe armed
+      val clean = java.nio.file.Files.createTempDirectory("graft_cleanid").toString
+      Seq((1L, "s0", "alpha beta"), (2L, "s0", "gamma"))
+        .toDF("doc_id", "source", "text")
+        .write.parquet(s"$clean/documents.parquet")
+      graft.ops.Text.qExactDedup(spark, clean).count() should be >= 0L
+    } finally spark.conf.set(Tables.DebugChecksFlag, "false")
   }
 
   test("bandProject keeps a null-text row with null digest and band") {
