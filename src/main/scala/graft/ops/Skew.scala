@@ -103,11 +103,17 @@ object Skew {
         s"(reserved pair prefixes); got ${payload.mkString(", ")}")
     def side(p: String, d: DataFrame): DataFrame =
       payload.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, p + c))
-    val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("__gsz"))
-    // one co-partitioned shuffle join tags every row with its group
-    // size; materialized once so the four branch scans below do not
-    // recompute the size aggregate
-    val tagged = df.join(sizes, key).transform(Ckpt.mat)
+    // ONE key-partitioned count window tags every row with its group
+    // size (the qDupBias one-scan shape — r15; replaces a size agg +
+    // co-partitioned join, one shuffle instead of two). Safe at any
+    // skew: the window computes a COUNT (linear per group), never the
+    // quadratic pair surface — a mega-group counts on one task in
+    // O(M), and the M² work below still takes the salted path.
+    // Materialized once so the four branch scans below do not
+    // recompute the window.
+    val w = Window.partitionBy(col(key))
+    val tagged = df.withColumn("__gsz", count(lit(1)).over(w))
+      .transform(Ckpt.mat)
     val small = tagged.filter(col("__gsz") <= cap).drop("__gsz")
     val big = tagged.filter(col("__gsz") > cap).drop("__gsz")
     val out = col(key) +: payload.flatMap(c => Seq(col("a_" + c), col("b_" + c)))

@@ -1145,21 +1145,30 @@ object Text {
       val pairs = sampledLshPairs(spark, dir).select($"da", $"db")
         .union(sampledMh20Pairs(spark, dir).select($"da", $"db"))
         .distinct()
-      val t = docTokens(spark, dir)
-      val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(t.alias("ta"), $"da" === col("ta.doc_id"))
-        .join(t.alias("tb"),
-          $"db" === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-        .groupBy($"da", $"db")
-        .agg(count(lit(1)).as("i"))
+      // Exact Jaccard per pair via per-doc token ARRAYS (r15): the
+      // distinct token array is a zero-shuffle projection off the
+      // documents scan, each pair picks up its two arrays by plain
+      // equi-join (shuffle ∝ |pairs| rows, not |pairs|×|tokens|),
+      // and |∩| evaluates in-stage with array_intersect. The
+      // pre-r15 shape joined the token-grain docTokens table twice —
+      // |pairs|×avg-doc-tokens intermediate rows (~18M at sf0.1)
+      // through two shuffles and a (da, db) hash-agg; the array form
+      // computes the same exact integers (i, na, nb are set sizes of
+      // identical distinct sets) with two |pairs|-row joins. Safe
+      // here because the pair set is a bounded EVAL sample — at
+      // production dedup grain the token-grain join remains the
+      // scalable form (arrays put a whole doc's tokens in one row).
+      val arrs = Tables.documents(spark, dir)
+        .select($"doc_id", array_distinct(toks($"text")).as("ts"))
       pairs
-        .join(inter, Seq("da", "db"), "left")
-        .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-        .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+        .join(arrs.select($"doc_id".as("da"), $"ts".as("ta")), "da")
+        .join(arrs.select($"doc_id".as("db"), $"ts".as("tb")), "db")
         .select($"da", $"db",
-          round(coalesce($"i", lit(0L)) /
-            ($"na" + $"nb" - coalesce($"i", lit(0L))), 4).as("j"))
+          size(array_intersect($"ta", $"tb")).cast("long").as("i"),
+          size($"ta").cast("long").as("na"),
+          size($"tb").cast("long").as("nb"))
+        .select($"da", $"db",
+          round($"i" / ($"na" + $"nb" - $"i"), 4).as("j"))
         .transform(Ckpt.mat)
     }
 
@@ -1897,6 +1906,14 @@ object Text {
 
   private def computeSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOTE (r15 A/B, rejected): checkpointing `banded` before the
+    // self-join — to avoid computing the signature subtree twice —
+    // measured SLOWER (q_cluster_sizes 3.7→6.8 s min): the lazy
+    // localCheckpoint's AQE replanning toll plus materializing under
+    // the first consumer's session confs (the CC loop tunes them
+    // down) costs more than the 2× signature projection at any
+    // tested SF. The double compute is 4 narrow rows per doc and one
+    // extra SHA pass — keep the plain self-join.
     val banded = simhashSigs63(spark, dir)
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
       .withColumn("bv", expr("(simhash >> (bp * 16)) & 65535"))
