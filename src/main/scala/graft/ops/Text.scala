@@ -1070,9 +1070,28 @@ object Text {
     * wraps int64 once doc_id exceeds ~3.47e9 (ANSI Spark throws,
     * DuckDB raises) — bounded operands keep the mix exact at any id
     * scale, and are identity for ids < 2^31−1. */
-  private def knuthSample(da: Column, db: Column, mod: Int): Column =
+  private[graft] def knuthSample(da: Column, db: Column, mod: Int): Column =
     pmod(pmod(da, lit(2147483647L)) * lit(2654435761L) +
       pmod(db, lit(2147483647L)), lit(mod.toLong)) === 0
+
+  /** [[knuthSample]] factored into per-SIDE join keys (r15): the mix
+    * is (f(da) + g(db)) mod K == 0 with f, g pure per-doc integer
+    * functions, so "pair is sampled" is equivalent to the EQUI
+    * condition aKey(da) === bKey(db) — f's residue determines the
+    * unique g-residue that completes the sample. Pushing the sample
+    * into the band self-join as a key means the dense band's pair
+    * GENERATION shrinks K× (the pre-r15 shape emitted every band
+    * pair — 2.58M rows for sf0.1's 2 272-doc band — then filtered;
+    * a join key emits only sampled pairs) and each band spreads over
+    * K sub-keys instead of one. Pair set PROVABLY identical to the
+    * filter form: modular arithmetic distributes over the sum, so
+    * aKey === bKey ⇔ knuthSample — PropertySpec pins the equivalence
+    * on random id pairs. */
+  private[graft] def knuthAKey(da: Column, mod: Int): Column =
+    pmod(-pmod(pmod(da, lit(2147483647L)) * lit(2654435761L),
+      lit(mod.toLong)), lit(mod.toLong))
+  private[graft] def knuthBKey(db: Column, mod: Int): Column =
+    pmod(pmod(db, lit(2147483647L)), lit(mod.toLong))
 
   /** q_lsh_precision's sampled candidate pairs: the 4-salt LSH band
     * self-join (quadratic in the densest band) cut to the 1/32 Knuth
@@ -1090,11 +1109,16 @@ object Text {
     memoized(sampLshCache, spark, dir) {
       import spark.implicits._
       val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
+      // the 1/32 sample as part of the equi-join KEY (see knuthAKey):
+      // the join keys on (band, salt), so only sampled pairs are ever
+      // generated and the dense band spreads over 32 sub-keys instead
+      // of one
       sig.alias("a")
         .join(sig.alias("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          col("a.band") === col("b.band") &&
+            knuthAKey(col("a.doc_id"), 32) === knuthBKey(col("b.doc_id"), 32) &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .filter(knuthSample(da = $"da", db = $"db", mod = 32))
         .transform(Ckpt.mat)
     }
 
@@ -1117,12 +1141,15 @@ object Text {
       val est = (0 until 16)
         .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
         .reduce(_ + _)
+      // 1/128 sample as part of the equi-join key — see
+      // sampledLshPairs (the mh20 band join gets the same pushdown)
       sig.alias("a")
         .join(sig.alias("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          col("a.band") === col("b.band") &&
+            knuthAKey(col("a.doc_id"), 128) === knuthBKey(col("b.doc_id"), 128) &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           est.cast("long").as("k"))
-        .filter(knuthSample(da = $"da", db = $"db", mod = 128))
         .transform(Ckpt.mat)
     }
 

@@ -352,3 +352,31 @@ object VetLatticePropertySpec extends Properties("graft.vet") {
       got == expected
     }
 }
+
+/** The r15 estimator-sample join-key pushdown's soundness pin: the
+  * factored per-side keys must select EXACTLY knuthSample's pairs
+  * (sampledLshPairs/sampledMh20Pairs now key their band joins on
+  * them). */
+object KnuthSamplePropertySpec extends Properties("graft.knuth") {
+
+  property("knuth pair sample ≡ its per-side equi-key factoring (mods 32/128)") =
+    forAll(Gen.listOfN(24, Gen.zip(
+        Gen.chooseNum(0L, Long.MaxValue / 2), Gen.chooseNum(0L, Long.MaxValue / 2))),
+      Gen.oneOf(32, 128)) { (idPairs, mod) =>
+      idPairs.isEmpty || {
+        val spark = SparkSuite.session
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        // the r15 join-key pushdown is only sound if the factored
+        // keys select EXACTLY knuthSample's pairs — including at ids
+        // beyond the 2^31−1 fold where the mix wraps
+        val df = idPairs.toDF("da", "db")
+        val both = df.select(
+          graft.ops.Text.knuthSample(col("da"), col("db"), mod).as("direct"),
+          (graft.ops.Text.knuthAKey(col("da"), mod) ===
+            graft.ops.Text.knuthBKey(col("db"), mod)).as("factored"))
+          .collect()
+        both.forall(r => r.getBoolean(0) == r.getBoolean(1))
+      }
+    }
+}
