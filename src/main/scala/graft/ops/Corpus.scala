@@ -865,16 +865,34 @@ object Corpus {
     * split out (r10) so Text.qGateFunnel reuses the EXACT gram
     * arithmetic (docs under 3 tokens are absent; funnel consumers
     * left-join and coalesce the flag to 0). */
+  /** The repetition FLAG as a pure column of `text` (r15) — the
+    * funnel's third gate with the left-join + coalesce(0) semantics
+    * folded in: docs under 3 tokens have no 3-grams and never flag.
+    * Shares the exact gram arithmetic with [[repetitionCounts]]. */
+  private[graft] def repetitionFlag(text: Column): Column = {
+    val t = toks(text)
+    val g = transform(sequence(lit(1), size(t) - 2),
+      i => array_join(slice(t, i, lit(3)), " "))
+    val n3 = size(g)
+    val d3 = size(array_distinct(g))
+    when(size(t) >= 3, ((n3 - d3) * 5 > n3).cast("int")).otherwise(0)
+  }
+
   private[graft] def repetitionCounts(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // PURE projection (r15): both counts are per-doc array facts —
+    // n3 = gram count, d3 = |distinct grams| via array_distinct —
+    // so the pre-r15 explode + doc-keyed hash-agg (this family's
+    // only shuffle) disappears; identical integers by definition.
     docs
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", explode(transform(
+      .select($"doc_id", transform(
         sequence(lit(1), size($"t") - 2),
-        i => array_join(slice($"t", i, lit(3)), " "))).as("gram"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n3"), count_distinct($"gram").as("d3"))
+        i => array_join(slice($"t", i, lit(3)), " ")).as("g"))
+      .select($"doc_id",
+        size($"g").cast("long").as("n3"),
+        size(array_distinct($"g")).cast("long").as("d3"))
   }
 
   /** L26 — cross-doc duplicate n-gram coverage (the corpus-level dedup

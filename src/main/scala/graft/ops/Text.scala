@@ -108,25 +108,49 @@ object Text {
   /** The rule lattice on any (doc_id, text) frame — split out (r10)
     * so the gate funnel ([[qGateFunnel]]) reuses the EXACT rule
     * arithmetic instead of drifting a copy. */
-  private[graft] def gopherGate(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).as("wc"),
-      size(array_distinct(split(col("text"), " "))).as("uw"),
-      length(col("text")).as("len"))
-    val top = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
-    val mwl = (col("len") - col("wc") + 1).cast("double") / col("wc")
-    base.join(top, "doc_id")
-      .withColumn("flags",
-        when(col("wc") < 30, 1).otherwise(0) +
-          when(mwl < 4.0 || mwl > 5.0, 2).otherwise(0) +
-          when(col("uw").cast("double") / col("wc") < 0.35, 4).otherwise(0) +
-          when(col("maxc").cast("double") / col("wc") > 0.12, 8).otherwise(0))
-      .select(col("doc_id"), col("wc").cast("long").as("wc"), col("flags"),
-        when(col("flags") === 0, 1).otherwise(0).as("keep"))
+  /** maxc (the doc's max word multiplicity) as a PURE column (r15):
+    * equal words are adjacent in the sorted word array, so max
+    * multiplicity = the longest equal-run — one O(n log n) in-stage
+    * fold instead of the pre-r15 explode + two doc-keyed hash-aggs +
+    * join (the gate's only shuffle; the whole rule lattice is now
+    * one codegen'd scan). eqNullSafe seeds the fold (prev starts
+    * NULL); identical integers at any input. */
+  private def maxWordMultiplicity(text: Column): Column =
+    aggregate(
+      array_sort(split(text, " ")),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** The Gopher rule bitmask as a pure column of `text` — ONE
+    * definition shared by [[gopherGate]] (the per-doc view) and
+    * [[qGateFunnel]] (the single-scan dashboard), so the funnel can
+    * never drift from the gate it summarizes. */
+  private[graft] def gopherFlags(text: Column): Column = {
+    val wc = size(split(text, " "))
+    val uw = size(array_distinct(split(text, " ")))
+    val len = length(text)
+    val mwl = (len - wc + 1).cast("double") / wc
+    when(wc < 30, 1).otherwise(0) +
+      when(mwl < 4.0 || mwl > 5.0, 2).otherwise(0) +
+      when(uw.cast("double") / wc < 0.35, 4).otherwise(0) +
+      when(maxWordMultiplicity(text).cast("double") / wc > 0.12, 8)
+        .otherwise(0)
   }
+
+  private[graft] def gopherGate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("wc"),
+        gopherFlags(col("text")).as("flags"))
+      .select(col("doc_id"), col("wc"), col("flags"),
+        when(col("flags") === 0, 1).otherwise(0).as("keep"))
 
   /** L66 — encoding/mojibake QUALITY GATE, completing qGopherRules'
     * rule family (the r9 judge's forward-looking gap #2): per
@@ -158,19 +182,30 @@ object Text {
   /** The gate's projection on any (doc_id, text) frame — split out so
     * the crafted-doc spec exercises the detection arithmetic
     * directly. */
-  private[graft] def encodingGate(docs: DataFrame): DataFrame = {
-    val nRepl = (length(col("text")) -
-      length(regexp_replace(col("text"), "�", ""))).cast("long")
-    val nCtrl = size(regexp_extract_all(col("text"),
+  private def encNRepl(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "�", ""))).cast("long")
+  private def encNCtrl(text: Column): Column =
+    size(regexp_extract_all(text,
       lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit(0))).cast("long")
-    val maxRun = coalesce(
+  private def encMaxRun(text: Column): Column =
+    coalesce(
       array_max(transform(
-        regexp_extract_all(col("text"), lit("[^\\x00-\\x7F]+"), lit(0)),
+        regexp_extract_all(text, lit("[^\\x00-\\x7F]+"), lit(0)),
         m => length(m))), lit(0)).cast("long")
+
+  /** The encoding-damage bitmask as a pure column of `text` — shared
+    * by [[encodingGate]] and [[qGateFunnel]] (single definition, no
+    * drift). */
+  private[graft] def encodingFlags(text: Column): Column =
+    when(encNRepl(text) > 0, 1).otherwise(0) +
+      when(encNCtrl(text) * 500 > length(text), 2).otherwise(0) +
+      when(encMaxRun(text) >= 20, 4).otherwise(0)
+
+  private[graft] def encodingGate(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_repl", nRepl)
-      .withColumn("n_ctrl", nCtrl)
-      .withColumn("max_nonascii_run", maxRun)
+      .withColumn("n_repl", encNRepl(col("text")))
+      .withColumn("n_ctrl", encNCtrl(col("text")))
+      .withColumn("max_nonascii_run", encMaxRun(col("text")))
       .withColumn("flags",
         when(col("n_repl") > 0, 1).otherwise(0) +
           when(col("n_ctrl") * 500 > length(col("text")), 2).otherwise(0) +
@@ -178,7 +213,6 @@ object Text {
       .select(col("doc_id"), col("n_repl"), col("n_ctrl"),
         col("max_nonascii_run"), col("flags"),
         when(col("flags") === 0, 1).otherwise(0).as("keep"))
-  }
 
   /** L70 — quality-gate FUNNEL: the per-source curation summary a
     * pipeline publishes after a filtering run — how many documents
@@ -187,14 +221,20 @@ object Text {
     * top-level deliverable of the gate family: the per-doc views
     * (qGopherRules, qEncodingGate, qRepetition) are the drill-downs,
     * this is the dashboard row. Reuses the EXACT factored gate
-    * arithmetic ([[gopherGate]], [[encodingGate]],
-    * Corpus.repetitionCounts) so the funnel can never drift from the
-    * gates it summarizes. Docs under 3 tokens have no repetition row
-    * — left join + coalesce(0), same rule as the oracle. All-integer
-    * output (counts only — zero tie surface); plan is three doc-grain
-    * flag lattices equi-joined on doc_id then one ≤|sources|-row hash
-    * agg: every shuffle is doc-grain or smaller, scan-bound at
-    * 100 TB. */
+    * arithmetic (the [[gopherFlags]]/[[encodingFlags]]/
+    * Corpus.repetitionFlag columns the per-doc gates are built from)
+    * so the funnel can never drift from the gates it summarizes.
+    * Docs under 3 tokens have no 3-grams and never flag repetition —
+    * folded into repetitionFlag, same rule as the oracle.
+    * All-integer output (counts only — zero tie surface). Plan: three
+    * doc-grain flag projections equi-joined on doc_id then one
+    * ≤|sources|-row hash agg. NOTE (r15 A/B, rejected): evaluating
+    * all three flag columns in ONE projection — zero joins — measured
+    * 1.8→10.8 s: the word-multiplicity fold is a higher-order
+    * function (no codegen), and fusing it with the regex columns
+    * into one stage drops the WHOLE projection to interpreted eval;
+    * the join shape keeps each gate in its own codegen'd stage and
+    * the joins are doc-grain. Scan-bound at 100 TB. */
   def qGateFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -794,6 +834,16 @@ object Text {
   private def tokenPairScores(spark: SparkSession, dir: String): DataFrame =
     memoized(tokenPairCache, spark, dir) {
       import spark.implicits._
+      // NOTE (r15 A/B, rejected): the q_est_error array-intersect
+      // form — enumerate block pairs at doc grain, join each pair's
+      // two token ARRAYS, intersect in-stage — measured ~2× SLOWER
+      // here (q_containment 2.2→4.6 s, q_near_dup 0.3→3.8 s
+      // standalone): this family's pair surface (~600k block pairs
+      // at sf0.1) × two ~3 KB arrays shuffles more bytes than the
+      // token-grain join's narrow pair×shared-token rows. The array
+      // form wins only when the pair set is SMALL relative to doc
+      // count (the estimator's 1/K samples); keep the token-grain
+      // self-join here.
       // ride the memoized token-set table + a metadata equi-join for
       // the (source, lang) block keys instead of re-tokenizing (r12
       // A/B: the inline tokenize fed three consumers uncheckpointed —
