@@ -865,19 +865,6 @@ object Corpus {
     * split out (r10) so Text.qGateFunnel reuses the EXACT gram
     * arithmetic (docs under 3 tokens are absent; funnel consumers
     * left-join and coalesce the flag to 0). */
-  /** The repetition FLAG as a pure column of `text` (r15) — the
-    * funnel's third gate with the left-join + coalesce(0) semantics
-    * folded in: docs under 3 tokens have no 3-grams and never flag.
-    * Shares the exact gram arithmetic with [[repetitionCounts]]. */
-  private[graft] def repetitionFlag(text: Column): Column = {
-    val t = toks(text)
-    val g = transform(sequence(lit(1), size(t) - 2),
-      i => array_join(slice(t, i, lit(3)), " "))
-    val n3 = size(g)
-    val d3 = size(array_distinct(g))
-    when(size(t) >= 3, ((n3 - d3) * 5 > n3).cast("int")).otherwise(0)
-  }
-
   private[graft] def repetitionCounts(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // PURE projection (r15): both counts are per-doc array facts —

@@ -333,6 +333,9 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"vec_id", $"cid", $"vec", $"dist")
+      // sanctioned 1-row driver read: per-round SSE is Lloyd's
+      // iteration state (same class as the CC fixpoint's label-sum,
+      // Text.scala) — one double per round, never vector data
       val iterSse = assigned.agg(sum($"dist")).head().getDouble(0)
       centroids = assigned
         .select($"cid", posexplode($"vec").as(Seq("pos", "x")))

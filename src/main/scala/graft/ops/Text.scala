@@ -146,6 +146,11 @@ object Text {
 
   private[graft] def gopherGate(docs: DataFrame): DataFrame =
     docs
+      // Null-text docs are DROPPED, matching the oracle (its per-word
+      // max-multiplicity CTE inner-joins back, and unnest of a null
+      // list emits no rows). The r15 pure-projection rewrite would
+      // otherwise keep them with wc = -1 — pinned in NullKeySpec.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("wc"),
         gopherFlags(col("text")).as("flags"))
@@ -193,14 +198,6 @@ object Text {
         regexp_extract_all(text, lit("[^\\x00-\\x7F]+"), lit(0)),
         m => length(m))), lit(0)).cast("long")
 
-  /** The encoding-damage bitmask as a pure column of `text` — shared
-    * by [[encodingGate]] and [[qGateFunnel]] (single definition, no
-    * drift). */
-  private[graft] def encodingFlags(text: Column): Column =
-    when(encNRepl(text) > 0, 1).otherwise(0) +
-      when(encNCtrl(text) * 500 > length(text), 2).otherwise(0) +
-      when(encMaxRun(text) >= 20, 4).otherwise(0)
-
   private[graft] def encodingGate(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_repl", encNRepl(col("text")))
@@ -220,12 +217,13 @@ object Text {
     * repetition) and how many survive ALL of them. This is the
     * top-level deliverable of the gate family: the per-doc views
     * (qGopherRules, qEncodingGate, qRepetition) are the drill-downs,
-    * this is the dashboard row. Reuses the EXACT factored gate
-    * arithmetic (the [[gopherFlags]]/[[encodingFlags]]/
-    * Corpus.repetitionFlag columns the per-doc gates are built from)
-    * so the funnel can never drift from the gates it summarizes.
-    * Docs under 3 tokens have no 3-grams and never flag repetition —
-    * folded into repetitionFlag, same rule as the oracle.
+    * this is the dashboard row. Built from the SAME per-doc gate
+    * views ([[gopherGate]]/[[encodingGate]]/Corpus.repetitionCounts)
+    * the drill-downs publish, so the funnel can never drift from the
+    * gates it summarizes. Docs under 3 tokens have no 3-grams and
+    * never flag repetition — they are absent from repetitionCounts,
+    * so the fr leg left-joins and coalesces the flag to 0, same rule
+    * as the oracle.
     * All-integer output (counts only — zero tie surface). Plan: three
     * doc-grain flag projections equi-joined on doc_id then one
     * ≤|sources|-row hash agg. NOTE (r15 A/B, rejected): evaluating

@@ -41,17 +41,51 @@ object Sinks {
       .when(suffixCol === "json.gz", "DEEP_ARCHIVE")
       .otherwise("STANDARD")
 
+  /** Reversible archive-key naming (r16, S11/F7 nit): the reference
+    * encrypts key names reversibly and hex-encodes them
+    * (s3-sync.sh:27-30), with the inverse decoder (s3-sync.sh:32-37),
+    * so an operator can recover the original name from the stored
+    * key. The engine's DEFAULT stays the one-way sha2 digest — no
+    * key material in the engine, per SURVEY §2.8 F7 — but when a
+    * recoverable name is required these two columns round-trip
+    * name → hex(AES-ECB(name)) → name with Spark's built-in
+    * `aes_encrypt`/`aes_decrypt` (codegen'd, distributed). ECB
+    * because key naming must be DETERMINISTIC — the same name must
+    * map to the same key on every idempotent re-archive; GCM's
+    * random IV would mint a fresh key per run. The secrecy bar is
+    * the reference's own: obfuscating non-repeating path names, not
+    * message privacy. `secret` must be 16/24/32 bytes (AES-128/192/
+    * 256). Kept out of the DuckDB oracle exactly as SURVEY F7
+    * argues; the identity `decryptedName(encryptedKey(n)) = n` is
+    * pinned in PipelineSpec. */
+  def encryptedKey(name: org.apache.spark.sql.Column,
+                   secret: String): org.apache.spark.sql.Column =
+    concat(lit("tw/"), lower(hex(aes_encrypt(
+      name.cast("binary"), lit(secret), lit("ECB"), lit("PKCS")))))
+
+  /** Inverse of [[encryptedKey]] — s3-sync.sh:32-37's decoder. */
+  def decryptedName(key: org.apache.spark.sql.Column,
+                    secret: String): org.apache.spark.sql.Column =
+    aes_decrypt(unhex(regexp_replace(key, "^tw/", "")),
+      lit(secret), lit("ECB"), lit("PKCS")).cast("string")
+
   /** Write `df` tier-partitioned under `outDir` with digest key
     * columns; returns the written row count from the parquet FOOTERS
     * (the head-object verification, s3-sync.sh:51 — a metadata
     * check, never a second pass over the data). df must have a
-    * `suffix` column and a `name` column. */
-  def archiveWrite(df: DataFrame, outDir: String): Long = {
+    * `suffix` column and a `name` column. Pass `keySecret` to name
+    * keys with the REVERSIBLE [[encryptedKey]] scheme instead of the
+    * default one-way digest. */
+  def archiveWrite(df: DataFrame, outDir: String,
+                   keySecret: Option[String] = None): Long = {
     val routed = df
       .withColumn("tier", tierOf(col("suffix")))
       // key = digest of the logical name (the encrypted-key pattern,
-      // s3-sync.sh:42-43, minus live key management)
-      .withColumn("key", concat(lit("tw/"), sha2(col("name"), 256)))
+      // s3-sync.sh:42-43, minus live key management) — or the
+      // recoverable AES naming when a secret is supplied
+      .withColumn("key", keySecret
+        .map(s => encryptedKey(col("name"), s))
+        .getOrElse(concat(lit("tw/"), sha2(col("name"), 256))))
     routed.write.mode(SaveMode.Overwrite)
       .partitionBy("tier")
       .parquet(outDir)

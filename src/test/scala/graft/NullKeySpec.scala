@@ -104,6 +104,32 @@ class NullKeySpec extends SparkSuite with Matchers {
     } finally spark.conf.set(Tables.DebugChecksFlag, "false")
   }
 
+  test("gopherGate drops null-text docs; qGateFunnel excludes them") {
+    import spark.implicits._
+    // Pin (r16, advice): the oracle's per-word max-multiplicity CTE
+    // inner-joins back to the doc, and unnest of a null token list
+    // emits no rows — so DuckDB drops null-text docs from
+    // q_gopher_rules and from every q_gate_funnel count (n_docs
+    // included, via the inner join on the gopher leg). gopherGate's
+    // explicit isNotNull filter makes the Spark side match; without
+    // it the r15 pure projection keeps the doc with wc = -1
+    // (flag bit 1 set), drifting the funnel.
+    val gate = graft.ops.Text.gopherGate(
+      Seq((1L, Some("alpha beta gamma")), (2L, Option.empty[String]))
+        .toDF("doc_id", "text"))
+    gate.select($"doc_id").as[Long].collect().toSet shouldBe Set(1L)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext").toString
+    Seq((1L, Some("alpha beta alpha beta gamma"), "en", "s0", 27L),
+        (2L, Option.empty[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val funnel = graft.ops.Text.qGateFunnel(spark, dir).collect()
+    funnel.length shouldBe 1
+    funnel(0).getAs[String]("source") shouldBe "s0"
+    funnel(0).getAs[Long]("n_docs") shouldBe 1L
+  }
+
   test("bandProject keeps a null-text row with null digest and band") {
     import spark.implicits._
     val rows = graft.ops.Text.bandProject(
