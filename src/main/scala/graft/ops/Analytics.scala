@@ -287,6 +287,13 @@ object Analytics {
     * over the disjunction (the registry sweep would catch it). */
   def qDisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Revenue in EXACT integer 10⁻⁴-dollar units (price is 2dp money,
+    // discount 2dp → each term is exact at 4dp; round-to-int of an
+    // identical double is engine-exact), then ONE half-up integer
+    // division to cents and ONE double division for emission — the
+    // r16 sf1 battery caught the double-fold form landing on a dead
+    // .005 tie at 2dp (sum = 695682026.805 exactly; Spark .81,
+    // DuckDB .80). Same class as q_est_error/q_quantize_int8.
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir),
         $"l_partkey" === $"p_partkey" && (
@@ -294,9 +301,14 @@ object Analytics {
             $"l_quantity".between(5, 20)) ||
           ($"p_brand" === "Brand#2" && $"p_size" <= 25 &&
             $"l_quantity".between(20, 35))))
+      .select($"p_brand",
+        (round($"l_extendedprice" * 100).cast("decimal(38,0)") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
+          .as("t_pico"))
       .groupBy($"p_brand")
-      .agg(count(lit(1)).as("n_lines"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+      .agg(count(lit(1)).as("n_lines"), sum($"t_pico").as("s_pico"))
+      .select($"p_brand", $"n_lines",
+        (expr("(s_pico + 50) div 100").cast("double") / 100.0)
           .as("revenue"))
       .orderBy($"p_brand".asc_nulls_first)
   }
@@ -486,9 +498,17 @@ object Analytics {
       .join(Tables.customer(spark, dir),
         $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(dims), $"s_nationkey" === $"n_nationkey")
+      // exact pico-dollar accumulation + half-up cents emission — the
+      // double-fold form hit a dead .005 tie at 2dp on the r16 sf1
+      // battery (NATION_12: …750.045 exactly); see qDisjunctiveJoin
+      .withColumn("t_pico",
+        round($"l_extendedprice" * 100).cast("decimal(38,0)") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-        .as("revenue"))
+      .agg(sum($"t_pico").as("s_pico"))
+      .select($"n_name",
+        (expr("(s_pico + 50) div 100").cast("double") / 100.0)
+          .as("revenue"))
       .orderBy($"revenue".desc_nulls_last, $"n_name".asc_nulls_first)
   }
 
@@ -1479,7 +1499,9 @@ object Analytics {
         |ORDER BY month ASC NULLS FIRST""".stripMargin,
     "q_disjunctive_join" ->
       """SELECT p_brand, count(*) AS n_lines,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |        + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#4' AND p_size <= 10
         |         AND l_quantity BETWEEN 5 AND 20)
@@ -1573,7 +1595,9 @@ object Analytics {
         |ORDER BY s_suppkey ASC NULLS FIRST""".stripMargin,
     "q_local_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |        + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -95,10 +95,18 @@ object Joins {
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      // exact pico-dollar accumulation + half-up cents emission — the
+      // double-fold form hit a dead .005 tie at 2dp on the r16 sf1
+      // battery (NATION_0: …803.605 exactly); see qDisjunctiveJoin
+      .withColumn("t_pico",
+        round($"l_extendedprice" * 100).cast("decimal(38,0)") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
       .groupBy($"r_name", $"n_name")
-      .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum($"t_pico").as("s_pico"), count(lit(1)).as("n_lines"))
+      .select($"r_name", $"n_name",
+        (expr("(s_pico + 50) div 100").cast("double") / 100.0)
+          .as("revenue"),
+        $"n_lines")
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
@@ -120,8 +128,16 @@ object Joins {
       .join(cust, $"o_custkey" === $"c_custkey")
       .join(Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff),
         $"o_orderkey" === $"l_orderkey")
+      // exact pico-dollar accumulation (see qMultiwayJoin): a revenue
+      // tie here would also flip the top-10 SELECTION, not just a cell
+      .withColumn("t_pico",
+        round($"l_extendedprice" * 100).cast("decimal(38,0)") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .agg(sum($"t_pico").as("s_pico"))
+      .select($"l_orderkey", $"o_orderdate", $"o_orderpriority",
+        (expr("(s_pico + 50) div 100").cast("double") / 100.0)
+          .as("revenue"))
       .orderBy($"revenue".desc_nulls_last, $"o_orderdate".asc_nulls_first,
         $"l_orderkey".asc_nulls_first)
       .limit(10)
@@ -315,7 +331,9 @@ object Joins {
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
     "q_multiway_join" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |        + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -327,7 +345,9 @@ object Joins {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
     "q_ship_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |        + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

@@ -25,16 +25,31 @@ object Relational {
     */
   def qPricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // sum_disc_price in EXACT integer 10⁻⁴-dollar units (2dp price ×
+    // 2dp discount factor = exact 4dp term), half-up to cents, ONE
+    // double division to emit: the r16 sf1 battery showed the
+    // double-fold form of this exact shape landing on dead .005 ties
+    // at 2dp in sibling queries (q_multiway_join, q_local_revenue).
+    // sum_base_price keeps the double sum: price is 2dp-exact, so the
+    // sum has no .005 component and round(…,2) has no halfway case.
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .withColumn("t_pico",
+        round($"l_extendedprice" * 100).cast("decimal(38,0)") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        sum($"t_pico").as("s_pico"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
         round(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus", $"sum_qty",
+        $"sum_base_price",
+        (expr("(s_pico + 50) div 100").cast("double") / 100.0)
+          .as("sum_disc_price"),
+        $"avg_qty", $"avg_disc", $"count_order")
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -286,7 +301,9 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |            (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |        + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order

@@ -1355,8 +1355,11 @@ object Text {
     * (per-bucket quadratic, ONE task per bucket — the exact shape
     * the r11 star reduction retired from q_minhash_dedup); this one
     * never builds a pair row, so a dense band costs its member
-    * COUNT, not its member count squared. Values are identical —
-    * verified against the unchanged pair-enumerating DuckDB oracle. */
+    * COUNT, not its member count squared. The oracle uses the same
+    * count factorization since r16 — the pair-enumerating form it
+    * replaced (green through r15) wedged on the sf1 battery's 31k-doc
+    * clone band (~5·10⁸ pair rows in DuckDB); both forms verified
+    * identical at the shipped SFs before the swap. */
   def qDupMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSigs(spark, dir).select($"doc_id", $"band")
@@ -1907,7 +1910,14 @@ object Text {
     * bit_count(sa ^ sb) over the candidates only. At 100 TB the
     * shuffle carries (doc_id, 8-byte sig) and the band join's fanout
     * is bounded by real collisions — the same recall/cost contract as
-    * q_minhash_dedup's LSH bands. */
+    * q_minhash_dedup's LSH bands. The ORACLE (r16) enumerates at
+    * DISTINCT-SIGNATURE grain then expands to doc pairs: by the same
+    * pigeonhole, banding never excludes a hamming≤3 pair, so the
+    * output is exactly {pairs with hamming(sig_a,sig_b) ≤ 3} — the
+    * doc-grain banded self-join it replaces (green through r15)
+    * wedged DuckDB on the sf1 battery's 31k-doc clone component
+    * (~2·10⁹ candidate rows); both forms verified identical at the
+    * shipped SFs before the swap. */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     simhashPairs(spark, dir)
@@ -3283,14 +3293,15 @@ object Text {
         |b AS (SELECT doc_id,
         |    substr(sha256(s0 || s1 || s2 || s3), 1, 16) AS band
         |  FROM sig),
-        |p AS (SELECT x.doc_id AS da, y.doc_id AS db
-        |  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id),
-        |m AS (SELECT least(s1.source, s2.source) AS src_a,
-        |    greatest(s1.source, s2.source) AS src_b
-        |  FROM p
-        |  JOIN documents s1 ON p.da = s1.doc_id
-        |  JOIN documents s2 ON p.db = s2.doc_id)
-        |SELECT src_a, src_b, count(*) AS n_pairs
+        |c AS (SELECT b.band, d.source, count(*) AS n
+        |  FROM b JOIN documents d ON b.doc_id = d.doc_id
+        |  GROUP BY b.band, d.source),
+        |m AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    x.n * y.n AS np
+        |  FROM c x JOIN c y ON x.band = y.band AND x.source < y.source
+        |  UNION ALL
+        |  SELECT source, source, n * (n - 1) // 2 FROM c WHERE n >= 2)
+        |SELECT src_a, src_b, CAST(sum(np) AS BIGINT) AS n_pairs
         |FROM m GROUP BY src_a, src_b
         |ORDER BY src_a ASC NULLS FIRST, src_b ASC NULLS FIRST""".stripMargin,
     "q_lsh_neardup" ->
@@ -3509,17 +3520,26 @@ object Text {
         |sig AS (SELECT doc_id,
         |    CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, bp,
+        |ds AS (SELECT DISTINCT simhash FROM sig),
+        |dbands AS (SELECT simhash, bp,
         |    (simhash >> (bp * 16)) & 65535 AS bv
-        |  FROM sig, generate_series(0, 3) s(bp)),
-        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
-        |    x.simhash AS sa, y.simhash AS sb
-        |  FROM banded x
-        |  JOIN banded y ON x.bp = y.bp AND x.bv = y.bv
-        |    AND x.doc_id < y.doc_id)
-        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(sa, sb)) <= 3
+        |  FROM ds, generate_series(0, 3) s(bp)),
+        |spairs AS (SELECT DISTINCT x.simhash AS sa, y.simhash AS sb
+        |  FROM dbands x JOIN dbands y ON x.bp = y.bp AND x.bv = y.bv
+        |    AND x.simhash < y.simhash
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |cross1 AS (SELECT least(a.doc_id, b.doc_id) AS da,
+        |    greatest(a.doc_id, b.doc_id) AS db,
+        |    CAST(bit_count(xor(p.sa, p.sb)) AS BIGINT) AS hamming
+        |  FROM spairs p
+        |  JOIN sig a ON a.simhash = p.sa
+        |  JOIN sig b ON b.simhash = p.sb),
+        |clone AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.simhash = b.simhash
+        |    AND a.doc_id < b.doc_id)
+        |SELECT da, db, hamming FROM cross1
+        |UNION ALL SELECT da, db, hamming FROM clone
         |ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""".stripMargin,
     "q_dup_spans" ->
       """WITH RECURSIVE t AS (SELECT DISTINCT doc_id,
