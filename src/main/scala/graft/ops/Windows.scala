@@ -103,6 +103,39 @@ object Windows {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** T6+T8 — gap sessionization through the NATIVE `session_window`
+    * aggregate in batch mode (r16, closing the last daylight between
+    * the batch analog and the streaming primitive): the same
+    * 30-minute-gap semantics qSessionize derives with lag + running
+    * sum, expressed via the primitive a streaming job would use, so
+    * both paths share one definition. Boundary semantics (pinned on
+    * a crafted frame in StreamBatchParitySpec): end is the EXCLUSIVE
+    * window end (last event + gap, Spark's [start, end) contract)
+    * rather than qSessionize's last event, and a gap of EXACTLY
+    * 30 min still MERGES — sessions merge when the new event's start
+    * ≤ the current window end, the same inclusive rule as
+    * qSessionize's `> gap` split.
+    * Integer-only output (ids, micros, counts — zero tie surface).
+    * Plan: ONE shuffle on user_id, sessions merged within partitions
+    * (UpdatingSessions + merging agg) — the same single-shuffle
+    * contract as qSessionize's window pair. NOT in the oracle
+    * registry: the r15 verdict's shipping condition was a measured
+    * ≤0.5 s suite cost, and it measured 0.90 s standalone-min
+    * (PLANS.md r16 ledger) — the oracle at sf0.01 passed before the
+    * withdrawal, and StreamBatchParitySpec pins the semantics
+    * (including the exactly-gap boundary) at zero bench cost. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id".asc_nulls_first, $"start_us".asc_nulls_first)
+  }
+
   /** T6 — sessionization: session identity = (key, start) with a new
     * session after a >30 min silence (the manager's per-(stream,
     * datestr) capture-session naming, manager.py:295-309). Batch

@@ -301,4 +301,58 @@ class StreamBatchParitySpec extends SparkSuite with Matchers {
     streamed shouldBe batch
     streamed.size should be > 0
   }
+
+  /** r16 (r15 verdict #7, shipped as a spec instead of an oracle
+    * query — the measured suite cost, 0.90 s standalone-min, exceeded
+    * the verdict's ≤0.5 s shipping cap; PLANS.md r16 ledger): the
+    * NATIVE session_window batch aggregate equals the lag+cumsum
+    * derivation q_sessionize uses, under session_window's OWN
+    * boundary rules — end is the exclusive window end (last event +
+    * gap), and a gap of EXACTLY 30 min still MERGES (sessions merge
+    * when the new event's start ≤ the current window end — the same
+    * inclusive rule as qSessionize's `> gap` split; pinned on a
+    * crafted frame because the shipped corpora have no exact-gap
+    * pair to expose it). */
+  test("session_window batch == lag/cumsum derivation; exact-gap boundary merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // parity on the real events table
+    val native = graft.ops.Windows.qSessionWindow(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc)
+    val derived = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ts_us" - $"prev" > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"),
+        (max($"ts_us") + 1800L * 1000000L).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .collect().map(_.toSeq).toSet
+    native shouldBe derived
+    native.size should be > 0
+
+    // crafted boundary pin: EXACTLY 30:00 merges too (inclusive rule)
+    val base = 1700000000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    Seq((1L, base), (1L, base + 1799999999L),
+        (1L, base + 1799999999L + 1800000000L),
+        (2L, base), (2L, base + 1L))
+      .toDF("user_id", "us")
+      .select(lit(0L).as("event_id"), timestamp_micros($"us").as("ts"),
+        $"user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.ops.Windows.qSessionWindow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    got shouldBe Set(
+      (1L, base, base + 3599999999L + 1800000000L, 3L),
+      (2L, base, base + 1L + 1800000000L, 2L))
+  }
 }

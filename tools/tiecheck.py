@@ -385,8 +385,13 @@ def main():
     sfdir, oracle_path = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        # directory-style parquet = ScaleUp synthetic corpora (r16);
+        # driver testdata stays single-file
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(oracle_path))
     n_ok = n_flag = n_skip = 0
     for e in audit_ledger(oracle):
