@@ -453,24 +453,47 @@ object Text {
       .orderBy($"true_lang".asc_nulls_first, $"pred_lang".asc_nulls_first)
   }
 
+  private val qualityStops = Seq("the", "a", "of", "and", "to")
+
+  /** The L9 quality-score lattice as EXACT-INTEGER e4 columns
+    * (ttr_e4, stop_e4, score_e4 alongside t/n_tokens) — ONE
+    * definition shared by [[qQualityScore]], [[qLenQuality]] and
+    * curriculumOrder (the L88/L89 rank input). r16: the sf1 tiecheck
+    * sweep flagged the previous double lattice — ttr and stop_ratio
+    * were 4dp rounds of SMALL-INTEGER RATIOS, which land exactly on
+    * .00005 boundaries (odd/160 = …xxxx5 precisely), and the
+    * curriculum rank turns any cross-engine round disagreement on
+    * those into row movement across shards (q_shard_manifest moved
+    * 26 rows under ±1e-9 perturbation). Integer form: round-to-int
+    * of an identical double is engine-exact (the q_min_cost_supplier
+    * fix class), the 0.6/0.4 blend becomes pure integer arithmetic
+    * with an explicit half-up div, and emission is one double
+    * division per column — zero boundary surface end to end. Still a
+    * pure codegen projection: no explode, no shuffle. */
+  private def qualityLattice(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("ttr_e4",
+        round(size(array_distinct(col("t"))) * lit(10000.0) / col("n_tokens"))
+          .cast("long"))
+      .withColumn("stop_e4",
+        round(size(filter(col("t"), tk => tk.isInCollection(qualityStops))) *
+          lit(10000.0) / col("n_tokens")).cast("long"))
+      .withColumn("score_e4",
+        expr("(6 * ttr_e4 + 4 * (10000 - stop_e4) + 5) div 10"))
+
   /** [EXT] quality scoring: type-token ratio + stopword ratio folded
     * into one score. Pure array expressions (filter/array_distinct) —
-    * no explode, no shuffle: per-row codegen only. */
+    * no explode, no shuffle: per-row codegen only. Ratios computed on
+    * the [[qualityLattice]] integer grid, emitted as 4dp doubles. */
   def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stops = Seq("the", "a", "of", "and", "to")
-    Tables.documents(spark, dir)
-      .withColumn("t", toks($"text"))
-      .withColumn("n_tokens", size($"t"))
-      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
-      .withColumn("stop_ratio",
-        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
-      // 0.6/0.4 weights, not 0.5/0.5: halving a 4-decimal input lands
-      // exactly on .00005 rounding boundaries, which Spark and DuckDB
-      // tie-break differently; 6·d and 4·d keep the 5th decimal even.
-      .withColumn("score",
-        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
-      .select($"doc_id", $"n_tokens", $"ttr", $"stop_ratio", $"score")
+    qualityLattice(Tables.documents(spark, dir))
+      .select($"doc_id", $"n_tokens",
+        ($"ttr_e4".cast("double") / 10000.0).as("ttr"),
+        ($"stop_e4".cast("double") / 10000.0).as("stop_ratio"),
+        ($"score_e4".cast("double") / 10000.0).as("score"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -506,16 +529,11 @@ object Text {
 
   private def computeCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stops = Seq("the", "a", "of", "and", "to")
-    val scored = Tables.documents(spark, dir)
-      .withColumn("t", toks($"text"))
-      .withColumn("n_tokens", size($"t"))
-      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
-      .withColumn("stop_ratio",
-        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
-      .withColumn("score",
-        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
-      .select($"doc_id", $"source", $"score", $"n_tokens")
+    // integer-exact score grid (qualityLattice, r16): the rank below
+    // must never depend on a cross-engine round tie-break
+    val scored = qualityLattice(Tables.documents(spark, dir))
+      .select($"doc_id", $"source",
+        ($"score_e4".cast("double") / 10000.0).as("score"), $"n_tokens")
     // two-phase rank (r12): ~20 sources over all docs is the
     // bounded-key/unbounded-rows window shape — scalableRank caps
     // any task's sort at |docs|/ranges instead of |docs|/20
@@ -2444,15 +2462,8 @@ object Text {
     * aggregate. One projection + one ≤|sources|-row agg. */
   def qLenQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stops = Seq("the", "a", "of", "and", "to")
-    Tables.documents(spark, dir)
-      .withColumn("t", toks($"text"))
-      .withColumn("n_tokens", size($"t"))
-      .withColumn("ttr", round(size(array_distinct($"t")) / $"n_tokens", 4))
-      .withColumn("stop_ratio",
-        round(size(filter($"t", tk => tk.isInCollection(stops))) / $"n_tokens", 4))
-      .withColumn("score",
-        round(lit(0.6) * $"ttr" + lit(0.4) * (lit(1.0) - $"stop_ratio"), 4))
+    qualityLattice(Tables.documents(spark, dir))
+      .withColumn("score", $"score_e4".cast("double") / 10000.0)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg($"score"), 4).as("avg_score"),
@@ -2678,12 +2689,14 @@ object Text {
         |    string_split_regex(trim(lower(text)), ' +') AS tk
         |  FROM documents),
         |m AS (SELECT source, n_chars,
-        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
-        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
-        |      / len(tk), 4) AS stop_ratio
+        |    CAST(round(len(list_distinct(tk)) * 10000.0 / len(tk))
+        |      AS BIGINT) AS ttr_e4,
+        |    CAST(round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      * 10000.0 / len(tk)) AS BIGINT) AS stop_e4
         |  FROM t),
         |s AS (SELECT source, n_chars,
-        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |    CAST((6 * ttr_e4 + 4 * (10000 - stop_e4) + 5) // 10 AS DOUBLE)
+        |      / 10000.0 AS score
         |  FROM m)
         |SELECT source, count(*) AS n_docs,
         |  round(avg(score), 4) AS avg_score,
@@ -2862,12 +2875,16 @@ object Text {
         |    string_split_regex(trim(lower(text)), ' +') AS tk
         |  FROM documents),
         |m AS (SELECT doc_id, len(tk) AS n_tokens,
-        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
-        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
-        |      AS stop_ratio
+        |    CAST(round(len(list_distinct(tk)) * 10000.0 / len(tk))
+        |      AS BIGINT) AS ttr_e4,
+        |    CAST(round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      * 10000.0 / len(tk)) AS BIGINT) AS stop_e4
         |  FROM t)
-        |SELECT doc_id, n_tokens, ttr, stop_ratio,
-        |  round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |SELECT doc_id, n_tokens,
+        |  CAST(ttr_e4 AS DOUBLE) / 10000.0 AS ttr,
+        |  CAST(stop_e4 AS DOUBLE) / 10000.0 AS stop_ratio,
+        |  CAST((6 * ttr_e4 + 4 * (10000 - stop_e4) + 5) // 10 AS DOUBLE)
+        |    / 10000.0 AS score
         |FROM m
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q_curriculum" ->
@@ -2875,12 +2892,14 @@ object Text {
         |    string_split_regex(trim(lower(text)), ' +') AS tk
         |  FROM documents),
         |m AS (SELECT doc_id, source,
-        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
-        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
-        |      AS stop_ratio
+        |    CAST(round(len(list_distinct(tk)) * 10000.0 / len(tk))
+        |      AS BIGINT) AS ttr_e4,
+        |    CAST(round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      * 10000.0 / len(tk)) AS BIGINT) AS stop_e4
         |  FROM t),
         |s AS (SELECT doc_id, source,
-        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |    CAST((6 * ttr_e4 + 4 * (10000 - stop_e4) + 5) // 10 AS DOUBLE)
+        |      / 10000.0 AS score
         |  FROM m),
         |r AS (SELECT doc_id, source, score,
         |    row_number() OVER (PARTITION BY source
@@ -2896,12 +2915,14 @@ object Text {
         |    string_split_regex(trim(lower(text)), ' +') AS tk
         |  FROM documents),
         |m AS (SELECT doc_id, source, len(tk) AS n_tokens,
-        |    round(len(list_distinct(tk)) / len(tk), 4) AS ttr,
-        |    round(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) / len(tk), 4)
-        |      AS stop_ratio
+        |    CAST(round(len(list_distinct(tk)) * 10000.0 / len(tk))
+        |      AS BIGINT) AS ttr_e4,
+        |    CAST(round(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      * 10000.0 / len(tk)) AS BIGINT) AS stop_e4
         |  FROM t),
         |s AS (SELECT doc_id, source, n_tokens,
-        |    round(0.6 * ttr + 0.4 * (1.0 - stop_ratio), 4) AS score
+        |    CAST((6 * ttr_e4 + 4 * (10000 - stop_e4) + 5) // 10 AS DOUBLE)
+        |      / 10000.0 AS score
         |  FROM m),
         |r AS (SELECT source, score, n_tokens,
         |    row_number() OVER (PARTITION BY source

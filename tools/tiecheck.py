@@ -133,14 +133,15 @@ TIE_SAFE = {
     "q_moore_lewis": dict(
         why="integer-term (per-token LLR in pico-nats)",
         mech=INT_TERM, rsites=1),
-    "q_quality_score": dict(
-        why="lattice: ttr/stop_ratio are k/n divisions (≥2.5e-8 "
-            "off-tie unless binary-exact odd/2^k, where both engines "
-            "agree half-away); score is 0.6/0.4-weighted 4dp "
-            "lattice — its 2e-5 grid never lands on a .00005 tie",
-        # the exact weighted-lattice formula the argument covers —
-        # changing either weight or the combination invalidates it
-        mech=r"0\.6 \* ttr \+ 0\.4 \* \(1\.0 - stop_ratio\)", rsites=3),
+    # q_quality_score's lattice entry was RETIRED in r16: the sf1
+    # tiecheck sweep flagged q_shard_manifest (the rank consumer of
+    # the same lattice) — ttr/stop_ratio k/n divisions DO land
+    # exactly on .00005 (odd/160 = …xxxx5 precisely), and a rank
+    # turns any cross-engine disagreement into row movement. The
+    # whole family (q_quality_score, q_curriculum, q_shard_manifest,
+    # q_len_quality) moved to the integer-e4 lattice
+    # (Text.qualityLattice): round-to-int quantize + exact integer
+    # half-up — zero 2-arg round sites left to profile.
     # k/n-division lattice: a single-division output k/n has scaled
     # boundary distance |k·10^d·2 − n(2m+1)|/(2n) ≥ 1/(2n) unless the
     # tie is exact; with n ≤ ~10^6 group sizes that is ≥ 5e-7 scaled,
