@@ -838,34 +838,66 @@ object Text {
     * two outputs are not strictly disjoint at that rounding
     * boundary. Each query matches its own oracle; the overlap is a
     * documented contract, not a defect. */
-  /** The (source, lang)-blocked token-intersection pair table —
-    * (da, db, inter, na, nb) for every block pair sharing ≥ 1 token —
-    * memoized per (session, dir): q_near_dup (Jaccard filter) and
-    * q_containment (integer overlap gates) both score off this exact
-    * surface, and both were paying the same self-join shuffle
-    * independently (r13 PassSim A/B: family 3.5 s → the memo build +
-    * two cheap reads). `sizes` stays a plain doc-keyed equi-join —
-    * one row PER DOCUMENT, corpus-sized, never broadcast. */
+  /** CONTENT-GROUP table at DOC grain — (doc_id, source, lang, rep,
+    * mult): docs grouped by (token-set fingerprint, source, lang),
+    * rep = the group's min doc_id, mult = group size (r16
+    * optimization round; guide §2.3/§8). The fingerprint is
+    * [[qFingerprint]]'s sha2-of-sorted-distinct-tokens — the MinHash
+    * and SimHash signatures and every token-SET measure (Jaccard,
+    * containment) are functions of the DISTINCT token set, so this
+    * is the exact collapse grain for the whole pair family: two docs
+    * in one group have identical (inter, na, nb) against any third
+    * doc, and exact Jaccard 1.0 against each other. On a clone-heavy
+    * corpus (the 100 TB crawl case — the 100× probe in PLANS.md r16
+    * addendum 2 spilled q_containment's doc-grain self-join to
+    * disk-full) the pair machinery then scales with |distinct
+    * contents|², not Σ(clone depth)².
+    *
+    * Exclusions keep the factorization EXACT vs the doc-grain join:
+    * null text (no tokens — never joined), null doc_id (the a < b
+    * condition never held), null source/lang (the block equi-join
+    * never matched) — those docs simply never paired before, so they
+    * get no group now. */
+  // lazy like tokenPairCache: declared above memoCaches in file
+  // order, so an eager init would NPE the registry
+  private lazy val contentGroupCache = newMemoCache()
+
+  private[graft] def contentGroups(spark: SparkSession, dir: String): DataFrame =
+    memoized(contentGroupCache, spark, dir) {
+      import spark.implicits._
+      val w = Window.partitionBy($"fp", $"source", $"lang")
+      Tables.documents(spark, dir)
+        .filter($"text".isNotNull && $"doc_id".isNotNull &&
+          $"source".isNotNull && $"lang".isNotNull)
+        .select($"doc_id", $"source", $"lang",
+          sha2(concat_ws(" ", array_sort(array_distinct(toks($"text")))), 256)
+            .as("fp"))
+        .select($"doc_id", $"source", $"lang",
+          min($"doc_id").over(w).as("rep"),
+          count(lit(1)).over(w).as("mult"))
+        .transform(Ckpt.mat)
+    }
+
+  /** The (source, lang)-blocked token-intersection surface at
+    * CONTENT-GROUP grain — (ga, gb, inter, na, nb) for every pair of
+    * distinct content groups sharing ≥ 1 token within a block
+    * (ga/gb = group reps, ga < gb). Replaces the r13–r15 doc-grain
+    * pair table: q_near_dup and q_containment both score off this
+    * surface and re-expand to doc grain only at their own output
+    * grain. The token self-join is unchanged in shape — just run
+    * over one representative per distinct content instead of every
+    * doc, so clone mass never enters the quadratic join.
+    * `sizes` stays a plain rep-keyed equi-join, never broadcast. */
   private lazy val tokenPairCache = newMemoCache()
-  private def tokenPairScores(spark: SparkSession, dir: String): DataFrame =
+  private def tokenGroupScores(spark: SparkSession, dir: String): DataFrame =
     memoized(tokenPairCache, spark, dir) {
       import spark.implicits._
-      // NOTE (r15 A/B, rejected): the q_est_error array-intersect
-      // form — enumerate block pairs at doc grain, join each pair's
-      // two token ARRAYS, intersect in-stage — measured ~2× SLOWER
-      // here (q_containment 2.2→4.6 s, q_near_dup 0.3→3.8 s
-      // standalone): this family's pair surface (~600k block pairs
-      // at sf0.1) × two ~3 KB arrays shuffles more bytes than the
-      // token-grain join's narrow pair×shared-token rows. The array
-      // form wins only when the pair set is SMALL relative to doc
-      // count (the estimator's 1/K samples); keep the token-grain
-      // self-join here.
-      // ride the memoized token-set table + a metadata equi-join for
-      // the (source, lang) block keys instead of re-tokenizing (r12
-      // A/B: the inline tokenize fed three consumers uncheckpointed —
-      // the memo + one materialization reads the build once per pass)
+      // NOTE (r15 A/B, rejected — still applies at rep grain): the
+      // array-intersect form shuffles whole token arrays per block
+      // pair and measured ~2× slower; keep the token-grain self-join.
       val t = docTokens(spark, dir)
-        .join(Tables.documents(spark, dir)
+        .join(contentGroups(spark, dir)
+          .filter($"doc_id" === $"rep")
           .select($"doc_id", $"source", $"lang"), "doc_id")
         .transform(Ckpt.mat)
       val sizes = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -875,20 +907,39 @@ object Text {
             col("a.source") === col("b.source") &&
             col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-        .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+        .join(sizes.select($"doc_id".as("ga"), $"n".as("na")), "ga")
+        .join(sizes.select($"doc_id".as("gb"), $"n".as("nb")), "gb")
         .transform(Ckpt.mat)
     }
 
   def qNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    tokenPairScores(spark, dir)
+    val g = contentGroups(spark, dir)
+    // cross-group pairs: the Jaccard lifts to group grain (identical
+    // distinct token sets within a group ⇒ identical (inter, na, nb)
+    // for every member pair); gate at group grain, THEN expand to
+    // member pairs — the expansion is this query's own pair-grain
+    // output, so it is output-sized by semantics
+    val cross = tokenGroupScores(spark, dir)
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.9)
-      .select($"da", $"db", $"jaccard")
+      .select($"ga", $"gb", $"jaccard")
+      .join(g.select($"rep".as("ga"), $"doc_id".as("xa")), "ga")
+      .join(g.select($"rep".as("gb"), $"doc_id".as("xb")), "gb")
+      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"),
+        $"jaccard")
+    // intra-group pairs: identical distinct token sets — exact
+    // Jaccard 1.0 (inter = na = nb), which passes the rounded ≥ 0.9
+    // gate by construction
+    val intra = g.alias("a")
+      .join(g.alias("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
@@ -922,18 +973,46 @@ object Text {
     * sizes never broadcast. */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = tokenPairScores(spark, dir)
+    // Group-grain factorization (r16; semantics pinned in
+    // ContainmentSpec before the rewrite). Intra-group pairs have
+    // exact Jaccard 1.0 and fail the < 0.9 gate — dropped with no
+    // expansion. Cross-group pairs share (i, na, nb) across every
+    // member pair, so the gates lift to group grain; the containee
+    // direction and the argmax then expand as follows:
+    //  - UNEQUAL set sizes: every member of the smaller-set group is
+    //    a containee; within the larger group all candidates tie on
+    //    (i, c_tok) and the container-asc tie-break picks its min
+    //    member — which is its rep — so ONE candidate row per
+    //    containee doc per candidate group is exact.
+    //  - EQUAL set sizes: containee = the HIGHER doc_id of the
+    //    member pair, so member x is a containee against the other
+    //    group iff that group's min member (= rep) < x, and that rep
+    //    is again the best container from the group.
+    val g = contentGroups(spark, dir)
+    val gp = tokenGroupScores(spark, dir)
       .withColumnRenamed("inter", "i")
       .filter($"i" * 10 >= least($"na", $"nb") * 9 &&
         $"i" * 10 < ($"na" + $"nb" - $"i") * 9)
+    val unequal = gp.filter($"na" =!= $"nb")
       .select(
-        when($"na" < $"nb", $"da").when($"nb" < $"na", $"db")
-          .otherwise(greatest($"da", $"db")).as("doc_id"),
-        when($"na" < $"nb", $"db").when($"nb" < $"na", $"da")
-          .otherwise(least($"da", $"db")).as("container"),
+        when($"na" < $"nb", $"ga").otherwise($"gb").as("cee"),
+        when($"na" < $"nb", $"gb").otherwise($"ga").as("container"),
         least($"na", $"nb").as("n_tok"),
-        greatest($"na", $"nb").as("c_tok"),
-        $"i")
+        greatest($"na", $"nb").as("c_tok"), $"i")
+      .join(g.select($"rep".as("cee"), $"doc_id"), "cee")
+      .select($"doc_id", $"container", $"n_tok", $"c_tok", $"i")
+    val eq = gp.filter($"na" === $"nb")
+    val eqA = eq
+      .join(g.select($"rep".as("ga"), $"doc_id"), "ga")
+      .filter($"doc_id" > $"gb")
+      .select($"doc_id", $"gb".as("container"),
+        $"na".as("n_tok"), $"nb".as("c_tok"), $"i")
+    val eqB = eq
+      .join(g.select($"rep".as("gb"), $"doc_id"), "gb")
+      .filter($"doc_id" > $"ga")
+      .select($"doc_id", $"ga".as("container"),
+        $"na".as("n_tok"), $"nb".as("c_tok"), $"i")
+    val scored = unequal.union(eqA).union(eqB)
     val w = Window.partitionBy($"doc_id")
       .orderBy($"i".desc, $"c_tok".desc, $"container".asc)
     scored
@@ -1159,6 +1238,20 @@ object Text {
   private[graft] def knuthBKey(db: Column, mod: Int): Column =
     pmod(pmod(db, lit(2147483647L)), lit(mod.toLong))
 
+  /** doc_id → content-group rep (`g`) for EVERY document (r16): docs
+    * inside [[contentGroups]] map to their group's rep; docs outside
+    * (null text/source/lang) fall back to themselves — singleton
+    * groups, so every group-grain factorization built on this map is
+    * the exact identity for them. Pure derivation over two memoized
+    * tables; not memoized itself. */
+  private def contentRepOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(contentGroups(spark, dir).select($"doc_id", $"rep"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("g"))
+  }
+
   /** q_lsh_precision's sampled candidate pairs: the 4-salt LSH band
     * self-join (quadratic in the densest band) cut to the 1/32 Knuth
     * sample (r14: was 1/16 — the eval is one row of precision
@@ -1204,18 +1297,37 @@ object Text {
     memoized(sampMh20Cache, spark, dir) {
       import spark.implicits._
       val sig = mh20Sigs(spark, dir)
-      val est = (0 until 16)
-        .map(i => (col(s"a.m$i") === col(s"b.m$i")).cast("int"))
-        .reduce(_ + _)
+      // r16: the band self-join carries (doc_id, band, g) — the 16
+      // m-columns stay OUT of the quadratic join (guide §2.3:
+      // project before the exchange; the 100× clone probe exhausted
+      // executor memory in the wide doc-grain form) and the
+      // agreement count k is computed once per DISTINCT content pair
+      // (same distinct token set ⇒ same minhash signature ⇒ same k
+      // for every member pair), then re-attached by a narrow
+      // equi-join. Singleton fallback g = doc_id keeps this the
+      // exact identity for ungrouped docs.
       // 1/128 sample as part of the equi-join key — see
       // sampledLshPairs (the mh20 band join gets the same pushdown)
-      sig.alias("a")
-        .join(sig.alias("b"),
+      val docSig = sig.select($"doc_id", $"band")
+        .join(contentRepOf(spark, dir), "doc_id")
+        .transform(Ckpt.mat) // both self-join branches read blocks
+      val raw = docSig.alias("a")
+        .join(docSig.alias("b"),
           col("a.band") === col("b.band") &&
             knuthAKey(col("a.doc_id"), 128) === knuthBKey(col("b.doc_id"), 128) &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          est.cast("long").as("k"))
+          col("a.g").as("ga"), col("b.g").as("gb"))
+        .transform(Ckpt.mat) // feeds the distinct AND the re-attach
+      val est = (0 until 16)
+        .map(i => (col(s"x.m$i") === col(s"y.m$i")).cast("int"))
+        .reduce(_ + _)
+      val gk = raw.select($"ga", $"gb").distinct()
+        .join(sig.alias("x"), $"ga" === col("x.doc_id"))
+        .join(sig.alias("y"), $"gb" === col("y.doc_id"))
+        .select($"ga", $"gb", est.cast("long").as("k"))
+      raw.join(gk, Seq("ga", "gb"))
+        .select($"da", $"db", $"ga", $"gb", $"k")
         .transform(Ckpt.mat)
     }
 
@@ -1251,17 +1363,32 @@ object Text {
       // here because the pair set is a bounded EVAL sample — at
       // production dedup grain the token-grain join remains the
       // scalable form (arrays put a whole doc's tokens in one row).
+      //
+      // r16 on top: score once per DISTINCT content pair (same
+      // fingerprint ⇒ same distinct token set ⇒ same exact j) and
+      // re-attach to the sampled pairs by a narrow equi-join — on a
+      // clone-heavy corpus the array pass shrinks by the clone-depth²
+      // factor while every pair's value is unchanged (singleton
+      // fallback g = doc_id makes this the identity for ungrouped
+      // docs, which keep scoring their own arrays).
+      val rep = contentRepOf(spark, dir)
+      val gp = pairs
+        .join(rep.select($"doc_id".as("da"), $"g".as("ga")), "da")
+        .join(rep.select($"doc_id".as("db"), $"g".as("gb")), "db")
+        .transform(Ckpt.mat) // feeds the distinct AND the re-attach
       val arrs = Tables.documents(spark, dir)
         .select($"doc_id", array_distinct(toks($"text")).as("ts"))
-      pairs
-        .join(arrs.select($"doc_id".as("da"), $"ts".as("ta")), "da")
-        .join(arrs.select($"doc_id".as("db"), $"ts".as("tb")), "db")
-        .select($"da", $"db",
+      val gscores = gp.select($"ga", $"gb").distinct()
+        .join(arrs.select($"doc_id".as("ga"), $"ts".as("ta")), "ga")
+        .join(arrs.select($"doc_id".as("gb"), $"ts".as("tb")), "gb")
+        .select($"ga", $"gb",
           size(array_intersect($"ta", $"tb")).cast("long").as("i"),
           size($"ta").cast("long").as("na"),
           size($"tb").cast("long").as("nb"))
-        .select($"da", $"db",
+        .select($"ga", $"gb",
           round($"i" / ($"na" + $"nb" - $"i"), 4).as("j"))
+      gp.join(gscores, Seq("ga", "gb"))
+        .select($"da", $"db", $"j")
         .transform(Ckpt.mat)
     }
 
@@ -1829,8 +1956,33 @@ object Text {
     // array_distinct here is a ZERO-SHUFFLE per-doc dedup, while a
     // memo read needs a row-level distinct (full shuffle) + metadata
     // join — measured slower (1.8 → 2.3 s) and worse-shaped at scale
-    val t = Tables.documents(spark, dir)
+    //
+    // Content-group factorization (r16; guide §2.3/§8): the shingle
+    // SET is a function of the normalized text, so docs sharing
+    // q_exact_dedup's digest (within a (source, lang) block) share
+    // every pair measure — the shingle self-join runs over ONE
+    // representative per (digest, source, lang) group and the gated
+    // group pairs expand to member pairs at the end (this query's
+    // own pair-grain output). Groups cover only docs with ≥ 2 tokens
+    // (docs with no shingles never paired — the explode dropped
+    // them) and non-null (id, text, source, lang) (null ids failed
+    // a < b, null blocks failed the equi-join). On the 100× clone
+    // probe the doc-grain build hit the broadcast-memory ceiling;
+    // clone mass now re-enters only as expansion arithmetic.
+    val wg = Window.partitionBy($"dg", $"source", $"lang")
+    val m = Tables.documents(spark, dir)
+      .filter($"text".isNotNull && $"doc_id".isNotNull &&
+        $"source".isNotNull && $"lang".isNotNull)
       .withColumn("tk", toks($"text"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", $"source", $"lang", $"tk",
+        sha2(lower(trim($"text")), 256).as("dg"))
+      .select($"doc_id", $"source", $"lang", $"tk",
+        min($"doc_id").over(wg).as("rep"))
+      // consumed by the rep shingle build AND both expansion legs —
+      // materialize the window pass once
+      .transform(Ckpt.mat)
+    val t = m.filter($"doc_id" === $"rep")
       .select($"doc_id", $"source", $"lang",
         explode(array_distinct(zip_with(
           slice($"tk", lit(1), size($"tk") - 1),
@@ -1847,15 +1999,29 @@ object Text {
           col("a.source") === col("b.source") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
       .agg(count(lit(1)).as("inter"))
-    // per-document aggregate — shuffle join, never broadcast (see qNearDup)
-    inter
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+    // per-representative aggregate — shuffle join, never broadcast
+    val gated = inter
+      .join(sizes.select($"doc_id".as("ga"), $"n".as("na")), "ga")
+      .join(sizes.select($"doc_id".as("gb"), $"n".as("nb")), "gb")
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= 0.3)
-      .select($"da", $"db", $"jaccard")
+      .select($"ga", $"gb", $"jaccard")
+    val mem = m.select($"doc_id", $"rep")
+    val cross = gated
+      .join(mem.select($"rep".as("ga"), $"doc_id".as("xa")), "ga")
+      .join(mem.select($"rep".as("gb"), $"doc_id".as("xb")), "gb")
+      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"),
+        $"jaccard")
+    // intra-group pairs: identical shingle sets — exact Jaccard 1.0,
+    // passes the ≥ 0.3 gate by construction
+    val intra = mem.alias("a")
+      .join(mem.alias("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
       .orderBy($"da".asc_nulls_first, $"db".asc_nulls_first)
   }
 
@@ -1974,9 +2140,21 @@ object Text {
     val lsh = minhashSigs(spark, dir).select($"doc_id", $"band")
       .select($"doc_id",
         (count(lit(1)).over(wb) > 1).cast("int").as("ls"))
-    val sp = simhashPairs(spark, dir)
-    val members = sp.select($"da".as("doc_id"))
-      .union(sp.select($"db".as("doc_id"))).distinct()
+    // membership from the SIGNATURE grain (r16): a doc is a simhash
+    // near-dup member iff its signature group has ≥ 2 docs (clique
+    // pairs) or its signature carries an inter-sig edge — the same
+    // doc set as distinct(da ∪ db) over the doc-grain pair surface,
+    // without enumerating a single pair
+    val sp = simhashSigPairs(spark, dir)
+    val touched = sp.select($"sa".as("simhash"))
+      .union(sp.select($"sb".as("simhash"))).distinct()
+      .withColumn("t", lit(1))
+    val members = simhashSigs63(spark, dir)
+      .filter($"simhash".isNotNull && $"doc_id".isNotNull)
+      .join(simhashGroups(spark, dir), "simhash")
+      .join(touched, Seq("simhash"), "left")
+      .filter($"mult" >= 2 || $"t".isNotNull)
+      .select($"doc_id")
       .withColumn("sh", lit(1))
     exact
       .join(lsh, Seq("doc_id"), "left")
@@ -1987,52 +2165,109 @@ object Text {
       .orderBy($"flags".asc_nulls_first)
   }
 
-  /** The (da, db, hamming) near-dup pair set qSimhashNeardup orders
-    * and qDedupClusters clusters — banded candidate generation +
-    * exact hamming re-rank, unordered. Memoized per (session, dir)
-    * like [[minhashSigs]]: the ordered dump and the CC fixpoint's
-    * edge build consume the SAME deterministic pair set, so the
-    * banded self-join + re-rank runs once per session/input;
-    * Bench/Profile clear via [[clearMemoCaches]]. EAGER checkpoint,
-    * unlike the signature memos: the first consumer may be the CC
-    * fixpoint, which tunes shuffle.partitions down to the iteration
-    * state and disables AQE for its loop — a lazy checkpoint would
-    * materialize this CORPUS-scale join under those loop settings
-    * (8-wide, no skew split) whenever a cluster query runs first,
-    * making performance depend on query order. Eager pins the
-    * materialization to session confs at memo-insert time. */
+  /** DISTINCT-SIGNATURE grain decomposition of the SimHash near-dup
+    * surface (r16 optimization round; guide §2.3/§8 — shuffle a
+    * lightweight proxy, re-attach the heavy grain arithmetically).
+    * Docs sharing a 63-bit signature are provably pairwise near-dups
+    * (hamming 0), and every cross-pair's hamming is a function of
+    * the two SIGNATURES — so the banded candidate self-join, the
+    * exact hamming re-rank, and the CC fixpoint all run at
+    * distinct-signature grain. On a clone-heavy corpus (the 100 TB
+    * crawl case — measured at 100× bench SF in PLANS.md r16
+    * addendum 2, where the doc-grain pair build timed the CC family
+    * out at >30 min) the candidate surface shrinks from
+    * Σ(clone depth)² pair rows to |distinct signatures| grain, and
+    * clone mass becomes re-expansion arithmetic. Doc-grain pair
+    * ENUMERATION survives only where a query's OUTPUT is pair grain
+    * ([[simhashPairs]] for qSimhashNeardup) and is there
+    * output-sized by semantics. The r16 sf1 ORACLE rewrite uses this
+    * exact factorization (distinct-sig pairs expanded to doc pairs,
+    * pigeonhole-complete) — both forms verified identical at every
+    * shipped SF before either swap. */
+  private val sigGroupCache = newMemoCache()
+
+  /** (simhash, rep, mult): one row per distinct non-null signature;
+    * rep = min doc_id over the signature's docs. Null simhash / null
+    * doc_id rows carry no identity and never produced a pair in the
+    * doc-grain band join (null band values and null-id comparisons
+    * fail the join condition) — excluded here for the same result. */
+  private[graft] def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    memoized(sigGroupCache, spark, dir) {
+      import spark.implicits._
+      simhashSigs63(spark, dir)
+        .filter($"simhash".isNotNull && $"doc_id".isNotNull)
+        .groupBy($"simhash")
+        .agg(min($"doc_id").as("rep"), count(lit(1)).as("mult"))
+        .transform(Ckpt.mat)
+    }
+
+  /** The (sa, sb, ra, rb, hamming) DISTINCT-signature near-dup edge
+    * set (hamming ≤ 3, sa < sb; ra/rb the groups' min-doc reps) —
+    * banded candidate generation + exact hamming re-rank, at
+    * signature grain. Memoized per (session, dir) like the doc-grain
+    * memo it replaces: the CC fixpoint, the doc-grain expansion, and
+    * the modality membership all consume the SAME deterministic edge
+    * set. EAGER checkpoint, unchanged rationale: the first consumer
+    * may be the CC fixpoint, which tunes shuffle.partitions down and
+    * disables AQE for its loop — eager pins this corpus-derived
+    * join's materialization to session confs at memo-insert time. */
   private val pairCache = newMemoCache()
 
-  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashSigPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(pairCache, spark, dir)(
-      computeSimhashPairs(spark, dir).transform(Ckpt.matNow))
+      computeSimhashSigPairs(spark, dir).transform(Ckpt.matNow))
 
-  private def computeSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def computeSimhashSigPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // NOTE (r15 A/B, rejected): checkpointing `banded` before the
-    // self-join — to avoid computing the signature subtree twice —
-    // measured SLOWER (q_cluster_sizes 3.7→6.8 s min): the lazy
-    // localCheckpoint's AQE replanning toll plus materializing under
-    // the first consumer's session confs (the CC loop tunes them
-    // down) costs more than the 2× signature projection at any
-    // tested SF. The double compute is 4 narrow rows per doc and one
-    // extra SHA pass — keep the plain self-join.
-    val banded = simhashSigs63(spark, dir)
-      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("bp"))
+    // The banded self-join reads the GROUP table (one row per
+    // distinct signature, checkpoint-backed memo) on both sides —
+    // the r15 "don't checkpoint the banded side" A/B no longer
+    // applies: that rejection was about re-materializing a CORPUS-
+    // sized projection; the group table is an aggregate that four
+    // consumers share, so blocks beat recompute.
+    val banded = simhashGroups(spark, dir)
+      .select($"simhash", $"rep", explode(sequence(lit(0), lit(3))).as("bp"))
       .withColumn("bv", expr("(simhash >> (bp * 16)) & 65535"))
     banded.alias("x")
       .join(banded.alias("y"),
         col("x.bp") === col("y.bp") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
+        col("x.rep").as("ra"), col("y.rep").as("rb"),
         expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-      // hamming BEFORE the dedup shuffle: it's a function of the pair
-      // (same for every band a pair collides on), and most random
-      // 16-bit band collisions fail ≤3 — filtering map-side means the
-      // distinct only shuffles true near-dup rows, not the collision
-      // fan-out
+      // hamming BEFORE the dedup shuffle: it's a function of the sig
+      // pair (same for every band a pair collides on), and most
+      // random 16-bit band collisions fail ≤3 — filtering map-side
+      // means the distinct only shuffles true near-dup rows
       .filter($"hamming" <= 3)
-      .distinct() // a pair may collide on several bands
+      .distinct() // a signature pair may collide on several bands
+  }
+
+  /** The (da, db, hamming) DOC-grain pair surface qSimhashNeardup
+    * orders — EXPANDED from the signature-grain edges (every member
+    * cross pair shares its sig pair's hamming) plus the
+    * intra-signature cliques (hamming 0). Pair enumeration here is
+    * output-sized by the query's own pair-grain semantics; no
+    * downstream operator re-ranks or clusters at this grain anymore
+    * (CC runs on [[simhashSigPairs]]). Not memoized: the expansion
+    * is the only consumer's output-sized final step. */
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = simhashSigs63(spark, dir)
+      .filter($"simhash".isNotNull && $"doc_id".isNotNull)
+    val sp = simhashSigPairs(spark, dir)
+    val cross = sp
+      .join(sigs.select($"simhash".as("sa"), $"doc_id".as("xa")), "sa")
+      .join(sigs.select($"simhash".as("sb"), $"doc_id".as("xb")), "sb")
+      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"),
+        $"hamming")
+    val intra = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
   }
 
   /** L7 consumer — near-dup CLUSTER ASSIGNMENT: connected components
@@ -2071,8 +2306,30 @@ object Text {
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     memoized(labelCache, spark, dir)(computeClusterLabels(spark, dir))
 
-  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(spark, simhashPairs(spark, dir))
+  /** CC at REP grain (r16): intra-signature cliques contract to
+    * their rep (the group's min doc_id), inter-signature edges
+    * connect reps, and min-label CC over reps yields each
+    * component's min REP — which IS the component's min doc_id,
+    * because every rep is its own group's min. Docs re-attach by
+    * signature: a doc is clustered iff its group has ≥ 2 members
+    * (clique edges exist) or its rep carries an inter-sig edge —
+    * exactly the doc-grain pair graph's node set. The fixpoint's
+    * node count is |distinct signatures in components| instead of
+    * |docs in components| — on the 100× clone probe that was the
+    * difference between a >30 min timeout and sub-second rounds. */
+  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val repEdges = simhashSigPairs(spark, dir)
+      .select($"ra".as("da"), $"rb".as("db"))
+    val repLabels = connectedComponents(spark, repEdges)
+      .select($"doc_id".as("rep"), $"cluster_id".as("rep_lbl"))
+    simhashSigs63(spark, dir)
+      .filter($"simhash".isNotNull && $"doc_id".isNotNull)
+      .join(simhashGroups(spark, dir), "simhash")
+      .join(repLabels, Seq("rep"), "left")
+      .filter($"mult" >= 2 || $"rep_lbl".isNotNull)
+      .select($"doc_id", coalesce($"rep_lbl", $"rep").as("cluster_id"))
+  }
 
   /** Pointer-jumping connected components over ANY (da, db) pair set
     * — extracted from the simhash candidate generator so crafted
